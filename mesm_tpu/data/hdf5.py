@@ -1,0 +1,80 @@
+"""HDF5 feature store with persistent handles.
+
+The reference opens the HDF5 file on EVERY __getitem__ call
+(reference dataset/charades.py:108-119, dataset/qvhighlights.py:201-211) —
+a measured hot spot (BASELINE.md). Here each (process, file) pair keeps one
+open handle; h5py handles are not thread-safe for concurrent reads of the
+same handle, so reads are serialized per file with a lock (the prefetch
+pipeline overlaps decode with device compute anyway).
+"""
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover - h5py is present in the target image
+    h5py = None
+
+
+class FeatureStore:
+    """Reads per-video features from one or more HDF5 files, concatenating
+    feature dims (multi-extractor fusion, truncated to the shortest stream —
+    reference dataset/charades.py:117-119)."""
+
+    def __init__(self, feat_files: Sequence[str], normalize: bool = False):
+        if h5py is None:
+            raise RuntimeError("h5py is required for HDF5 feature stores")
+        self.feat_files = list(feat_files)
+        self.normalize = normalize
+        self._handles: Dict[str, "h5py.File"] = {}
+        self._lock = threading.Lock()
+        self._pid = os.getpid()
+
+    def _handle(self, path: str):
+        # re-open after fork (handles cannot cross processes)
+        if os.getpid() != self._pid:
+            self._handles = {}
+            self._pid = os.getpid()
+        h = self._handles.get(path)
+        if h is None:
+            h = h5py.File(path, "r")
+            self._handles[path] = h
+        return h
+
+    def get(self, video_id: str, max_len: Optional[int] = None) -> np.ndarray:
+        feats: List[np.ndarray] = []
+        with self._lock:
+            for path in self.feat_files:
+                ds = self._handle(path)[video_id]
+                arr = ds[:max_len] if max_len is not None else ds[:]
+                feats.append(np.asarray(arr, dtype=np.float32))
+        min_len = min(f.shape[0] for f in feats)
+        feats = [f[:min_len] for f in feats]
+        out = np.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+        if self.normalize:
+            norm = np.linalg.norm(out, axis=1, keepdims=True)
+            out = out / np.maximum(norm, 1e-12)
+        return out
+
+    def keys(self) -> List[str]:
+        with self._lock:
+            return list(self._handle(self.feat_files[0]).keys())
+
+    def close(self):
+        with self._lock:
+            for h in self._handles.values():
+                try:
+                    h.close()
+                except Exception:
+                    pass
+            self._handles = {}
+
+
+def normalize_rows(feat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(feat, axis=1, keepdims=True)
+    return feat / np.maximum(norm, 1e-12)

@@ -1,0 +1,216 @@
+"""Shared building blocks: torch-parity inits, LinearBlock, MLP, PReLU.
+
+Parity targets: reference model/model.py (LinearLayer :412, MLP :397) and
+torch defaults. Two initializer families appear in the reference:
+  - torch nn.Linear defaults (kaiming_uniform(a=sqrt5) == U(+-1/sqrt(fan_in))
+    for both kernel and bias) — used by everything MESM constructs directly;
+  - xavier_uniform applied post-hoc to every >1-dim param of the T2V encoder
+    and DETR transformer (reference model/transformer.py:78-81, 168-171).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    flax kernels are (fan_in, fan_out).
+    """
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch-default init and a switchable kernel initializer."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_linear_kernel_init
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_linear_bias_init(fan_in),
+            dtype=self.dtype,
+            name="linear",
+        )(x)
+
+
+class PReLU(nn.Module):
+    """PReLU with a single learned slope (torch nn.PReLU default, init 0.25).
+
+    The reference instantiates one PReLU per transformer layer via its
+    activation factory (reference model/transformer.py:894-906 with
+    activation='prelu' from runner.py:199-235), so the slope is a trainable
+    per-layer parameter.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+def make_activation(name: str):
+    if name == "relu":
+        return lambda: nn.relu
+    if name == "gelu":
+        return lambda: nn.gelu
+    if name == "prelu":
+        return PReLU
+    if name == "selu":
+        return lambda: jax.nn.selu
+    raise ValueError(f"unsupported activation {name}")
+
+
+class LinearBlock(nn.Module):
+    """[LayerNorm] -> Dropout -> Dense -> [ReLU].
+
+    Parity: reference LinearLayer (model/model.py:412-434) — note the
+    LayerNorm is applied to the *input* (pre-projection) and dropout precedes
+    the projection.
+    """
+
+    features: int
+    layer_norm: bool = True
+    dropout: float = 0.1
+    relu: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Dense(self.features, dtype=self.dtype, name="proj")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class InputProj(nn.Module):
+    """Stack of n LinearBlocks; the last has no ReLU iff n == depth used.
+
+    Parity: reference input_txt_proj / input_vid_proj construction
+    (model/model.py:51-62): relu flags are [True]*3 with index
+    n_input_proj-1 set False, truncated to n_input_proj blocks.
+    """
+
+    features: int
+    n_layers: int = 2
+    dropout: float = 0.5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        relu_flags = [True, True, True]
+        relu_flags[self.n_layers - 1] = False
+        for i in range(self.n_layers):
+            x = LinearBlock(
+                self.features,
+                layer_norm=True,
+                dropout=self.dropout,
+                relu=relu_flags[i],
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+class MLP(nn.Module):
+    """num_layers Dense layers with ReLU between (none after the last).
+
+    Parity: reference MLP (model/model.py:397-409). `zero_last` reproduces the
+    zero-initialised final layer of the decoder's bbox head
+    (reference model/transformer.py:314-321).
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    kernel_init: Callable = torch_linear_kernel_init
+    zero_last_bias: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            feats = self.output_dim if last else self.hidden_dim
+            fan_in = x.shape[-1]
+            bias_init = (
+                nn.initializers.zeros
+                if (last and self.zero_last_bias)
+                else torch_linear_bias_init(fan_in)
+            )
+            x = nn.Dense(
+                feats,
+                kernel_init=self.kernel_init,
+                bias_init=bias_init,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
+class FFN(nn.Module):
+    """linear1 -> activation -> dropout -> linear2 (transformer feed-forward).
+
+    Parity: the FFN sub-block shared by all reference transformer layers
+    (e.g. model/transformer.py:492-494,537).
+    """
+
+    dim_feedforward: int
+    d_model: int
+    dropout: float = 0.1
+    activation: str = "prelu"
+    kernel_init: Callable = torch_linear_kernel_init
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        act = make_activation(self.activation)()
+        fan_in = x.shape[-1]
+        x = nn.Dense(
+            self.dim_feedforward,
+            kernel_init=self.kernel_init,
+            bias_init=torch_linear_bias_init(fan_in),
+            dtype=self.dtype,
+            name="linear1",
+        )(x)
+        x = act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.d_model,
+            kernel_init=self.kernel_init,
+            bias_init=torch_linear_bias_init(self.dim_feedforward),
+            dtype=self.dtype,
+            name="linear2",
+        )(x)
+        return x

@@ -1,0 +1,136 @@
+"""Text<->video cross-modal encoder (the reference's "T2V" stack).
+
+Parity targets: reference model/transformer.py — T2V_TransformerEncoderLayer
+(:485-559), T2V_TransformerEncoderLayer_TwoMLP (:562-612), T2V encoder
+wrappers (:62-116, :208-242). Batch-first throughout (the reference permutes
+to (L, B, D) purely as a torch idiom).
+
+Layer dataflow (post-norm):
+  q = video + pos_vid ; k = text + pos_txt ; v = text
+  x = video + dropout(attn(q, k, v))        # cross-attn, text keys masked
+  y = norm1(x); y = ffn(y)
+  out = norm2(x + dropout(y))
+
+Masking note: the reference also passes an outer-product attn_mask
+qpad*kpad^T alongside the key-padding mask (transformer.py:528-533). Since
+(qpad & kpad) | kpad == kpad, that pair mask is subsumed by key padding —
+the net masking is key-padding only, which is what we apply.
+
+The TwoMLP variant duplicates the FFN+norm pair and routes by the static
+`is_mlm` flag so the reversed (MLM) direction trains its own FFN
+(reference :562-612, selected by share_MLP=False in runner.py:190-210).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import ProjAttention
+from .layers import FFN, torch_linear_kernel_init
+
+
+class T2VLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    activation: str = "prelu"
+    two_mlp: bool = False
+    # True for stacks the reference re-initializes with a global xavier pass
+    # (T2VEncoder wrappers, transformer.py:78-81); False for SegSenRecon's
+    # inner stack which keeps torch Linear defaults (model/model.py:445-452).
+    xavier_init: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        src_txt: jnp.ndarray,  # (B, Lt, D) keys/values
+        src_vid: jnp.ndarray,  # (B, Lv, D) queries (running stream)
+        txt_valid_mask: Optional[jnp.ndarray],  # (B, Lt)
+        pos_txt: Optional[jnp.ndarray],
+        pos_vid: Optional[jnp.ndarray],
+        *,
+        is_mlm: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        kinit = (
+            nn.initializers.xavier_uniform() if self.xavier_init else torch_linear_kernel_init
+        )
+        q = src_vid if pos_vid is None else src_vid + pos_vid
+        k = src_txt if pos_txt is None else src_txt + pos_txt
+        attn_out = ProjAttention(
+            self.num_heads,
+            dropout=self.dropout,
+            out_kernel_init=kinit,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(q, k, src_txt, key_valid_mask=txt_valid_mask, deterministic=deterministic)
+        x = src_vid + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+
+        suffix = "_mlm" if (self.two_mlp and is_mlm) else ""
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm1{suffix}")(x)
+        y = FFN(
+            self.dim_feedforward,
+            self.d_model,
+            dropout=self.dropout,
+            activation=self.activation,
+            kernel_init=kinit,
+            dtype=self.dtype,
+            name=f"ffn{suffix}",
+        )(y, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2{suffix}")(x)
+        return x
+
+
+class T2VEncoder(nn.Module):
+    """Stack of T2VLayers; the video stream is refined, text is re-read every
+    layer (reference T2V_TransformerEncoder, model/transformer.py:208-242)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    activation: str = "prelu"
+    two_mlp: bool = False
+    xavier_init: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        src_txt: jnp.ndarray,
+        src_vid: jnp.ndarray,
+        txt_valid_mask: Optional[jnp.ndarray],
+        pos_txt: Optional[jnp.ndarray] = None,
+        pos_vid: Optional[jnp.ndarray] = None,
+        *,
+        is_mlm: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = src_vid
+        for i in range(self.num_layers):
+            x = T2VLayer(
+                self.d_model,
+                self.num_heads,
+                self.dim_feedforward,
+                self.dropout,
+                self.activation,
+                two_mlp=self.two_mlp,
+                xavier_init=self.xavier_init,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(
+                src_txt,
+                x,
+                txt_valid_mask,
+                pos_txt,
+                pos_vid,
+                is_mlm=is_mlm,
+                deterministic=deterministic,
+            )
+        return x

@@ -1,0 +1,174 @@
+"""Jitted train / eval steps: forward + criterion + optimizer in one XLA program.
+
+This is the TPU-native replacement for the reference's per-step Python loop
+(train.py:42-96: forward, criterion with a host-synced scipy matcher, backward,
+clip, step as separate host-driven calls). Here a single compiled program does
+text encode -> negative sampling -> model forward (pos+neg passes) -> matcher
+-> losses -> grad -> global-norm clip -> AdamW update, with batch rows sharded
+over the `data` mesh axis and XLA inserting the gradient all-reduce.
+
+Optimizer parity: AdamW(lr, wd=1e-4, betas=(0.9,0.999), eps=1e-8) +
+clip_grad_norm_(0.1) (reference runner.py:348-352, train.py:70-72). The
+StepLR epoch schedule is applied by the host driver via set_learning_rate
+(torch steps the scheduler per epoch, train.py:149).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import CriterionConfig, compute_losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+
+
+def build_optimizer(
+    lr: float, weight_decay: float = 1e-4, grad_clip: float = 0.1
+) -> optax.GradientTransformation:
+    clip = optax.clip_by_global_norm(grad_clip) if grad_clip > 0 else optax.identity()
+    return optax.chain(
+        clip,
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+        ),
+    )
+
+
+def current_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    inner = state.opt_state[1]
+    hyper = dict(inner.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    inner = inner._replace(hyperparams=hyper)
+    return state.replace(opt_state=(state.opt_state[0], inner))
+
+
+def sample_out_of_group(
+    rng: jax.Array, group_id: jnp.ndarray, row_mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Uniformly pick, for each row, another VALID row from a different group.
+
+    Reference sample_outclass_neg (utils/data_utils.py:113-124) does this on
+    host with randperm; the Gumbel-argmax below is the same uniform draw.
+    Rows with no candidates fall back to (i+1) % B (the reference would crash;
+    its sampler guarantees >= 2 groups per batch, ours does too)."""
+    B = group_id.shape[0]
+    cand = group_id[None, :] != group_id[:, None]
+    if row_mask is not None:
+        cand = cand & (row_mask[None, :] > 0)
+    g = jax.random.gumbel(rng, (B, B))
+    idx = jnp.argmax(jnp.where(cand, g, -jnp.inf), axis=1).astype(jnp.int32)
+    fallback = (jnp.arange(B, dtype=jnp.int32) + 1) % B
+    return jnp.where(cand.any(axis=1), idx, fallback)
+
+
+# encode_text_fn: (frozen_params, batch) ->
+#     (words_feat, words_mask, sentence_feat)  [all truncated to max_words_l]
+EncodeTextFn = Callable[[dict, Dict[str, jnp.ndarray]], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+def _model_kwargs(batch):
+    return dict(
+        clip_mask=batch.get("clip_mask"),
+        words_weight=batch.get("words_weight"),
+        unknown_mask=batch.get("unknown_mask"),
+        ss_sent_idx=batch.get("ss_sent_idx"),
+        ss_sent_mask=batch.get("ss_sent_mask"),
+        ss_own_pos=batch.get("ss_own_pos"),
+        ss_video_feat=batch.get("ss_video_feat"),
+        ss_video_mask=batch.get("ss_video_mask"),
+    )
+
+
+def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, tx):
+    """Returns jitted train_step(state, frozen_text, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, frozen_text, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rng_drop, rng_mask, rng_neg = jax.random.split(step_rng, 3)
+
+        words_feat, words_mask, sentence_feat = encode_text_fn(frozen_text, batch)
+        neg_rows = sample_out_of_group(rng_neg, batch["group_id"], batch.get("row_mask"))
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["video_feat"],
+                batch["video_mask"],
+                words_feat,
+                words_mask,
+                sentence_feat,
+                neg_rows,
+                is_training=True,
+                deterministic=False,
+                rngs={"dropout": rng_drop, "mask_words": rng_mask},
+                **_model_kwargs(batch),
+            )
+            losses, total = compute_losses(out, batch, ccfg, is_training=True)
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss_overall"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: EncodeTextFn, with_loss: bool):
+    """Returns jitted eval_step(params, frozen_text, batch, rng) -> preds[, losses].
+
+    Predictions stay on device as fixed-shape arrays; the host pulls one
+    consolidated transfer per batch (vs the reference's per-tensor
+    .cpu().tolist() in eval.py:64-98).
+    """
+
+    def eval_step(params, frozen_text, batch, rng):
+        words_feat, words_mask, sentence_feat = encode_text_fn(frozen_text, batch)
+        neg_rows = sample_out_of_group(
+            jax.random.fold_in(rng, 0), batch["group_id"], batch.get("row_mask")
+        )
+        out = model.apply(
+            {"params": params},
+            batch["video_feat"],
+            batch["video_mask"],
+            words_feat,
+            words_mask,
+            sentence_feat,
+            neg_rows,
+            is_training=False,
+            deterministic=True,
+            **_model_kwargs(batch),
+        )
+        prob = jax.nn.softmax(out["pred_logits"], axis=-1)
+        preds = {
+            "scores": prob[..., 0],  # foreground prob (class 0)
+            "pred_spans": out["pred_spans"],
+            "saliency_scores": out["saliency_scores"],
+        }
+        if with_loss and ccfg is not None:
+            losses, total = compute_losses(out, batch, ccfg, is_training=False)
+            losses = dict(losses)
+            losses["loss_overall"] = total
+            return preds, losses
+        return preds, {}
+
+    return jax.jit(eval_step)
+
