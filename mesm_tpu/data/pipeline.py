@@ -1,0 +1,97 @@
+"""Prefetching input pipeline.
+
+The reference leans on torch DataLoader worker processes with per-call HDF5
+opens (runner.py:88-98). Here a small thread pool assembles fixed-shape numpy
+batches ahead of the training step (HDF5 + numpy release the GIL for the
+heavy parts), with bounded lookahead so host IO overlaps device compute —
+double buffering at the host->device boundary is the important part on TPU.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+_SENTINEL = object()
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batcher,
+        collate: Callable,
+        num_workers: int = 2,
+        prefetch: int = 3,
+    ):
+        self.dataset = dataset
+        self.batcher = batcher
+        self.collate = collate
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = max(prefetch, 1)
+
+    def _build(self, idx_batch):
+        entries = [self.dataset[i] for i in idx_batch]
+        return self.collate(entries)
+
+    def __iter__(self) -> Iterator:
+        batches = list(self.batcher)
+        if self.num_workers <= 1:
+            for idxs in batches:
+                yield self._build(idxs)
+            return
+
+        in_q: "queue.Queue" = queue.Queue()
+        for i, idxs in enumerate(batches):
+            in_q.put((i, idxs))
+        for _ in range(self.num_workers):
+            in_q.put(_SENTINEL)
+
+        results: dict = {}
+        errors: list = []
+        next_slot = [0]
+        cond = threading.Condition()
+
+        def worker():
+            while True:
+                item = in_q.get()
+                if item is _SENTINEL:
+                    with cond:
+                        cond.notify_all()
+                    return
+                slot, idxs = item
+                try:
+                    built = self._build(idxs)
+                except Exception as e:
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    # bounded lookahead: don't run too far ahead of the consumer
+                    while slot > next_slot[0] + self.prefetch and not errors:
+                        cond.wait(timeout=10)
+                    results[slot] = built
+                    cond.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        for produced in range(len(batches)):
+            with cond:
+                while next_slot[0] not in results:
+                    if errors:
+                        raise errors[0]
+                    if not any(t.is_alive() for t in threads):
+                        raise RuntimeError("loader workers exited early")
+                    cond.wait(timeout=10)
+                built = results.pop(next_slot[0])
+                next_slot[0] += 1
+                cond.notify_all()
+            yield built
+
+    def __len__(self) -> int:
+        return len(self.batcher)

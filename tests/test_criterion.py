@@ -27,7 +27,8 @@ def test_label_loss_matches_torch_semantics():
     logits = rng.normal(size=(B, nq, 2)).astype(np.float32)
     src_idx = np.array([0, 2, 3])
     eos = 0.1
-    loss, class_err = _label_loss(jnp.asarray(logits), jnp.asarray(src_idx), None, eos)
+    rm = jnp.ones((B,), jnp.float32)
+    loss, class_err = _label_loss(jnp.asarray(logits), jnp.asarray(src_idx), None, eos, rm)
 
     # numpy oracle
     logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
@@ -56,7 +57,9 @@ def test_rec_fw_label_smoothing_oracle():
     label = rng.integers(0, C, (B, L)).astype(np.int32)
     mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], np.float32)
     outputs = {"recfw_words_logit": jnp.asarray(logit), "words_mask": jnp.asarray(mask)}
-    loss, acc = _rec_fw_loss(outputs, {"words_label": jnp.asarray(label)})
+    loss, acc = _rec_fw_loss(
+        outputs, {"words_label": jnp.asarray(label)}, jnp.ones((B,), jnp.float32)
+    )
 
     logp = logit - np.log(np.exp(logit).sum(-1, keepdims=True))
     eps = 0.1
@@ -86,7 +89,7 @@ def test_saliency_neg_pair_is_softplus():
     outputs = {"saliency_scores": jnp.asarray(s), "neg_saliency_scores": jnp.asarray(ns)}
     batch = {"video_mask": jnp.asarray(mask), "clip_mask": jnp.asarray(clip)}
     cfg = CriterionConfig(use_triplet=False, rank_coef=12.0)
-    loss = float(_saliency_loss(outputs, batch, cfg))
+    loss = float(_saliency_loss(outputs, batch, cfg, jnp.ones((B,), jnp.float32)))
 
     # numpy oracle
     neg_pair = (np.logaddexp(0, ns) * mask).sum(1).mean()

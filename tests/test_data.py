@@ -1,0 +1,309 @@
+"""Data layer tests over synthetic annotation + HDF5 fixtures."""
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mesm_tpu.data import (
+    CharadesDataset,
+    GloVeSimpleTokenizer,
+    GroupAwareBatcher,
+    Loader,
+    QVHighlightsDataset,
+    RowBudgetBatcher,
+    Vocabulary,
+)
+from mesm_tpu.data.collate import BatchSpec, make_collate
+from mesm_tpu.data.datasets import mean_pool_downsample
+from mesm_tpu.data.tokenizers import ClipBPETokenizer
+
+import h5py
+
+DV = 12
+SENTS = [
+    "a person opens the door",
+    "someone closes a window",
+    "the dog runs fast",
+    "a man reads the book",
+    "person turns on a light",
+]
+
+
+@pytest.fixture(scope="module")
+def charades_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("charades")
+    ann = root / "annotations"
+    ann.mkdir()
+    rng = np.random.default_rng(0)
+    vids = [f"V{i:03d}" for i in range(6)]
+    durations = {v: float(rng.integers(20, 40)) for v in vids}
+
+    for split, fname in [("train", "charades_sta_train.txt"), ("test", "charades_sta_test.txt")]:
+        lines = []
+        for i, v in enumerate(vids):
+            for j in range((i % 3) + 1):  # 1..3 sentences per video
+                d = durations[v]
+                st = float(rng.uniform(0, d * 0.6))
+                ed = float(rng.uniform(st + 1, d))
+                lines.append(f"{v} {st:.2f} {ed:.2f}##{SENTS[(i + j) % len(SENTS)]}\n")
+        (ann / fname).write_text("".join(lines))
+
+    for fname in ["Charades_v1_train.csv", "Charades_v1_test.csv"]:
+        rows = ["id,subject,scene,quality,relevance,verified,script,objects,descriptions,length\n"]
+        for v in vids:
+            rows.append(f"{v},s,x,7,7,Yes,script,objects,desc,{durations[v]}\n")
+        (ann / fname).write_text("".join(rows))
+
+    words = sorted({w for s in SENTS for w in s.split()})
+    vocab = Vocabulary(words)
+    with open(ann / "GloVe_tokenized_count.txt", "w") as f:
+        for w in words:
+            f.write(f"{w} {vocab.wtoi[w]} 5\n")
+
+    feat = root / "feat.hdf5"
+    with h5py.File(feat, "w") as f:
+        for v in vids:
+            L = int(rng.integers(15, 40))
+            f.create_dataset(v, data=rng.normal(size=(L, DV)).astype(np.float32))
+
+    return dict(ann=str(ann), feat=str(feat), vocab=vocab, vids=vids, durations=durations)
+
+
+def make_charades(root, split="train", max_gather_size=-1, recfw=True, clip_len=1):
+    return CharadesDataset(
+        ann_path=root["ann"],
+        feat_files=[root["feat"]],
+        split=split,
+        use_tef=True,
+        clip_len=clip_len,
+        max_words_l=8,
+        max_video_l=20,
+        tokenizer_type="GloVeSimple",
+        load_vocab_pkl=False,
+        bpe_path="",
+        vocab=root["vocab"],
+        normalize_video=True,
+        contra_samples=2,
+        recfw=recfw,
+        vocab_size=10,
+        max_gather_size=max_gather_size,
+    )
+
+
+def test_mean_pool_downsample_oracle():
+    rng = np.random.default_rng(1)
+    feat = rng.normal(size=(37, 5)).astype(np.float32)
+    out = mean_pool_downsample(feat, 10)
+    assert out.shape == (10, 5)
+    # oracle: reference loop semantics (dataset/base.py:100-114)
+    idxs = np.round(np.arange(0, 11) / 10 * 37).clip(max=36).astype(int)
+    for i in range(10):
+        s, e = idxs[i], idxs[i + 1]
+        expect = feat[s:e].mean(0) if s < e else feat[s]
+        np.testing.assert_allclose(out[i], expect, rtol=1e-5)
+    short = rng.normal(size=(7, 5)).astype(np.float32)
+    np.testing.assert_array_equal(mean_pool_downsample(short, 10), short)
+
+
+def test_charades_dataset_item(charades_root):
+    ds = make_charades(charades_root)
+    assert len(ds) == 6  # one merged entry per video (max_gather_size=-1)
+    item = ds[0]
+    n = item["num_clips"]
+    assert item["video_feat"].shape[1] == DV + 2  # TEF appended
+    assert item["video_feat"].shape[0] <= 20
+    assert item["words_id"].shape == (n, 8)
+    assert item["clip_mask"].shape == (n, item["video_feat"].shape[0])
+    assert item["clip_mask"].any(axis=1).all()
+    assert item["pos_idx"].shape == (n, 2)
+    # pos indices inside the clip, neg outside
+    for i in range(n):
+        assert item["clip_mask"][i][item["pos_idx"][i]].all()
+
+
+def test_gather_size_chunks(charades_root):
+    ds = make_charades(charades_root, max_gather_size=1)
+    assert len(ds) == sum(len(v) for v in [e["sentence"] for e in ds.merged_data])
+    assert ds.max_group_size() == 1
+
+
+def test_collate_shapes_and_padding(charades_root):
+    ds = make_charades(charades_root)
+    spec = BatchSpec(row_capacity=8, max_video_l=20, group_capacity=3)
+    collate = make_collate(spec)
+    batch, meta = collate([ds[0], ds[1]])
+    n_rows = meta["n_rows"]
+    assert batch["video_feat"].shape == (8, 20, DV + 2)
+    assert batch["row_mask"].sum() == n_rows
+    assert batch["words_id"].shape == (8, 8)
+    assert (batch["group_id"][: n_rows] <= 1).all()
+    # ss gather: own position points back at the row itself
+    for r in range(n_rows):
+        assert batch["ss_sent_idx"][r, batch["ss_own_pos"][r]] == r
+        assert batch["ss_sent_mask"][r, batch["ss_own_pos"][r]]
+    # norm spans consistent with moment/duration
+    nm = batch["norm_moment"][:n_rows]
+    assert (nm >= 0).all() and (nm <= 1.0001).all()
+    np.testing.assert_allclose(
+        batch["norm_span"][:n_rows, 0], nm.mean(-1), rtol=1e-5
+    )
+    # padded rows are copies of row 0
+    assert (batch["video_feat"][n_rows:] == batch["video_feat"][0][None]).all()
+
+
+def test_row_budget_batcher(charades_root):
+    ds = make_charades(charades_root)
+    b = RowBudgetBatcher(ds, row_capacity=5, shuffle=True, seed=0)
+    for batch in b:
+        rows = sum(len(ds.merged_data[i]["video_id"]) for i in batch)
+        assert rows <= 5
+        vids = {ds.merged_data[i]["video_id"][0] for i in batch}
+        assert len(vids) >= 2
+
+
+def test_group_aware_batcher(charades_root):
+    ds = make_charades(charades_root, max_gather_size=1)
+    b = GroupAwareBatcher(ds, row_capacity=4, shuffle=True, seed=0)
+    seen = 0
+    for batch in b:
+        vids = [ds.merged_data[i]["video_id"][0] for i in batch]
+        assert len(vids) == len(set(vids)), "same video twice in one batch"
+        seen += len(batch)
+    assert seen > 0
+
+
+def test_loader_threaded_matches_serial(charades_root):
+    ds = make_charades(charades_root)
+    spec = BatchSpec(row_capacity=8, max_video_l=20, group_capacity=3)
+    collate = make_collate(spec)
+    b1 = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
+    serial = list(Loader(ds, b1, collate, num_workers=1))
+    b2 = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
+    threaded = list(Loader(ds, b2, collate, num_workers=3))
+    assert len(serial) == len(threaded)
+    for (sb, sm), (tb, tm) in zip(serial, threaded):
+        assert sm["qid"] == tm["qid"]
+        np.testing.assert_array_equal(sb["video_mask"], tb["video_mask"])
+
+
+# ---------------------------------------------------------------------------
+# CLIP BPE tokenizer with a tiny synthetic merge table
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_bpe(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bpe") / "bpe.txt.gz"
+    merges = ["#version: tiny", "t h", "th e</w>", "o g</w>", "d og</w>", "o p", "op e"]
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges) + "\n")
+    return str(p)
+
+
+def test_clip_bpe_tokenizer(tiny_bpe):
+    id2label = {"<unknown>": 10, "<start>": 11, "<end>": 12}
+    tok = ClipBPETokenizer(True, id2label, tiny_bpe)
+    ids, weights, unk, labels = tok.tokenize("the dog", max_valid_length=8)
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == tok.sot
+    n = int((ids[0] != 0).sum())
+    assert ids[0, n - 1] == tok.eot
+    # "the" -> one merged token, "dog" -> one merged token
+    assert n == 4  # sot the dog eot
+    assert weights[0, 0] == 0  # sot carries weight 0
+    assert (weights[0, 1:3] > 0).all()
+    # unknown tokens (not in the 3-entry keep vocab) labeled <unknown>
+    assert labels[0, 0] == 11 and labels[0, n - 1] == 12
+    assert (labels[0, 1 : n - 1] == 10).all()
+    assert unk[0, 1 : n - 1].all()
+    # roundtrip decode
+    assert tok.encode("the dog")[0] == [tok.encoder["the</w>"], tok.encoder["dog</w>"]]
+
+
+# ---------------------------------------------------------------------------
+# QVHighlights with synthetic jsonl
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qvh_root(tmp_path_factory, charades_root):
+    root = tmp_path_factory.mktemp("qvh")
+    ann = root / "annotations"
+    ann.mkdir()
+    rng = np.random.default_rng(3)
+    words = sorted({w for s in SENTS for w in s.split()})
+    with open(ann / "GloVe_tokenized_count.txt", "w") as f:
+        vocab = charades_root["vocab"]
+        for w in words:
+            f.write(f"{w} {vocab.wtoi[w]} 5\n")
+
+    feat = root / "feat.hdf5"
+    entries = []
+    qid = 0
+    with h5py.File(feat, "w") as f:
+        for i in range(4):  # 4 raw videos, 2 clips each
+            for c in range(2):
+                vid = f"Y{i}_{c * 150:.1f}_{(c + 1) * 150:.1f}"
+                L = int(rng.integers(10, 16))
+                f.create_dataset(vid, data=rng.normal(size=(L, DV)).astype(np.float32))
+                n_rel = int(rng.integers(2, 5))
+                rel_ids = sorted(rng.choice(L, n_rel, replace=False).tolist())
+                windows = [[int(r * 2), int(r * 2 + 2)] for r in rel_ids[:2]]
+                qid += 1
+                entries.append(
+                    dict(
+                        qid=qid,
+                        query=SENTS[(i + c) % len(SENTS)],
+                        vid=vid,
+                        duration=2 * L,
+                        relevant_clip_ids=rel_ids,
+                        saliency_scores=[[int(x) for x in rng.integers(0, 5, 3)] for _ in rel_ids],
+                        relevant_windows=windows,
+                    )
+                )
+    with open(ann / "highlight_train_release.jsonl", "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return dict(ann=str(ann), feat=str(feat), vocab=charades_root["vocab"])
+
+
+def test_qvh_dataset_and_collate(qvh_root):
+    ds = QVHighlightsDataset(
+        ann_path=qvh_root["ann"],
+        feat_files=[qvh_root["feat"]],
+        split="train",
+        use_tef=True,
+        clip_len=2,
+        max_words_l=8,
+        max_video_l=16,
+        tokenizer_type="GloVeSimple",
+        load_vocab_pkl=False,
+        bpe_path="",
+        vocab=qvh_root["vocab"],
+        normalize_video=True,
+        contra_samples=2,
+        recfw=True,
+        vocab_size=10,
+        max_gather_size=-1,
+        max_windows=5,
+    )
+    assert len(ds) == 4  # grouped by raw video id
+    item = ds[0]
+    assert item["num_clips"] == 2
+    assert isinstance(item["video_feat"], list)
+    assert item["norm_moment"][0].shape[1] == 2
+    assert (item["saliency_label"][0] > 0).any()
+
+    spec = BatchSpec(
+        row_capacity=6, max_video_l=16, group_capacity=2,
+        multi_clip=True, max_windows=5, ss_video_l=32,
+    )
+    collate = make_collate(spec)
+    batch, meta = collate([ds[0], ds[1]])
+    assert batch["norm_moment"].shape == (6, 5, 2)
+    assert batch["tgt_mask"][: meta["n_rows"]].any(axis=1).all()
+    assert batch["saliency_label"].shape == (6, 16)
+    assert batch["ss_video_feat_groups"].shape == (2, 32, DV + 2)
+    assert batch["ss_group_slot"][: meta["n_rows"]].max() == 1
