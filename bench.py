@@ -1,0 +1,102 @@
+"""Benchmark: MESM eval-step throughput on one TPU chip (charades C+SF geometry).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- metric: steady-state eval throughput in rows(=query-clips)/sec of the
+  optimized path (fused Pallas attention, negative pass elided at inference).
+- vs_baseline: ratio against a faithful port of the reference's inference
+  computation running on the SAME chip (XLA einsum attention, negative pass
+  computed as the reference does at eval — eval.py:63 runs the full forward).
+  The reference's own GPU numbers are not measurable in this environment
+  (BASELINE.md: no published numbers); same-chip faithful-port is the honest
+  baseline.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mesm_tpu import kernels
+    from mesm_tpu.models import MESM
+    from mesm_tpu.models.mesm import MESMConfig
+    from mesm_tpu.parallel.step import sample_out_of_group
+
+    # charades C+SF geometry (config/charades/C+SF_C.json), eval_batch_size=30
+    B, Lv, Dv, Lw, Dt = 32, 194, 2818, 16, 512
+    cfg = MESMConfig(
+        hidden_dim=256, v_feat_dim=Dv, t_feat_dim=Dt, nheads=8,
+        dim_feedforward=1024, num_queries=10, max_words_l=Lw, max_video_l=Lv,
+        num_classes=1114, rec_fw=True, rec_ss=True, aux_loss=True,
+    )
+    model = MESM(cfg)
+
+    rng = np.random.default_rng(0)
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from synth import make_batch
+
+    batch = make_batch(rng, B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=3, n_groups=8)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    neg = sample_out_of_group(jax.random.PRNGKey(0), jb["group_id"])
+
+    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
+            jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask_words": jax.random.PRNGKey(2)},
+        *args, is_training=False, deterministic=True, **kw,
+    )
+    params = variables["params"]
+
+    def make_fn(compute_neg: bool):
+        @jax.jit
+        def fn(p, *a):
+            out = model.apply(
+                {"params": p}, *a,
+                is_training=False, deterministic=True, compute_neg=compute_neg, **kw,
+            )
+            return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
+        return fn
+
+    def measure(fn, iters=30, warmup=5):
+        for _ in range(warmup):
+            r = fn(params, *args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(params, *args)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        return B * iters / dt
+
+    # optimized: fused pallas attention + inference-only forward
+    kernels.set_pallas_attention(jax.default_backend() != "cpu")
+    fast = measure(make_fn(compute_neg=False))
+
+    # faithful-port baseline: XLA attention, full reference inference forward
+    kernels.set_pallas_attention(False)
+    base = measure(make_fn(compute_neg=True))
+    kernels.set_pallas_attention(None)
+
+    print(json.dumps({
+        "metric": "eval_throughput_rows_per_sec",
+        "value": round(fast, 2),
+        "unit": "rows/s",
+        "vs_baseline": round(fast / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Inference driver + per-epoch evaluation.
+
+Parity target: reference eval.py (eval_epoch :34, compute_mr_results :52,
+eval_epoch_post_processing :120, inference :488). Differences are TPU-native:
+predictions come back from a single jitted eval step as fixed-shape device
+arrays with one host transfer per batch (vs per-tensor .cpu().tolist()), and
+the post-processor is vectorized.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pprint
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TestOptions
+from .metrics import eval_submission
+from .ops.span import span_cxw_to_xx
+from .postprocess import SpanPostProcessor, apply_nms
+from .utils import AverageMeter, load_checkpoint, save_json, save_jsonl
+from . import runner as R
+
+logger = logging.getLogger(__name__)
+logging.basicConfig(
+    format="%(asctime)s.%(msecs)03d:%(levelname)s:%(name)s - %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    level=logging.INFO,
+)
+
+
+def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=None):
+    """Run the jitted eval step over a loader and decode submissions on host."""
+    mr_res = []
+    for batch, meta in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if "ss_video_feat_groups" in jb:
+            jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
+            jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
+        preds, losses = eval_step(params, frozen, jb, rng)
+        preds = jax.device_get(preds)
+        if loss_meters is not None and losses:
+            for k, v in losses.items():
+                loss_meters[k].update(float(v))
+
+        n = meta["n_rows"]
+        scores = np.asarray(preds["scores"])[:n]  # (n, nq)
+        spans = np.asarray(span_cxw_to_xx(preds["pred_spans"]))[:n]  # (n, nq, 2)
+        sal = np.asarray(preds["saliency_scores"])[:n]
+        valid_len = np.asarray(batch["video_mask"])[:n].sum(1)
+        for i in range(n):
+            dur = meta["duration"][i]
+            ranked = np.concatenate(
+                [spans[i] * dur, scores[i][:, None]], axis=1
+            ).tolist()
+            if opt.sort_results:
+                ranked = sorted(ranked, key=lambda r: r[2], reverse=True)
+            ranked = [[float(f"{v:.4f}") for v in row] for row in ranked]
+            mr_res.append(
+                dict(
+                    qid=meta["qid"][i],
+                    query=meta["sentence"][i],
+                    vid=meta["video_id"][i],
+                    pred_relevant_windows=ranked,
+                    pred_saliency_scores=sal[i, : int(valid_len[i])].tolist(),
+                )
+            )
+
+    post = SpanPostProcessor(
+        clip_length=opt.clip_len,
+        min_ts_val=0,
+        max_ts_val=opt.max_ts_val,
+        min_w_l=2,
+        max_w_l=150,
+        move_window_method="left",
+        process_func_names=(
+            ("clip_ts", "round_multiple") if opt.clip_len != -1 else ("clip_ts",)
+        ),
+    )
+    return post(mr_res)
+
+
+def eval_epoch(
+    params,
+    frozen,
+    eval_step,
+    loader,
+    opt,
+    save_submission_filename: str,
+    gt_data,
+    rng=None,
+    with_loss: bool = False,
+):
+    """Returns (metrics_no_nms, metrics_nms, loss_meters, latest_file_paths)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(opt.seed)
+    loss_meters = defaultdict(AverageMeter) if with_loss else None
+    submission = compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters)
+    if not opt.sort_results:
+        save_submission_filename = save_submission_filename.replace(".jsonl", "_unsorted.jsonl")
+
+    submission_path = os.path.join(opt.result_dir, save_submission_filename)
+    save_jsonl(submission, submission_path)
+    metrics = eval_submission(
+        submission, gt_data, dataset_name=opt.dataset_name, num_workers=opt.num_workers
+    )
+    metrics_path = submission_path.replace(".jsonl", "_metrics.json")
+    save_json(metrics, metrics_path, save_pretty=True)
+    latest_paths = [submission_path, metrics_path]
+
+    metrics_nms = None
+    if opt.nms_thd != -1:
+        logger.info(f"[MR] nms with thd {opt.nms_thd}")
+        sub_nms = apply_nms(
+            [dict(e) for e in submission], opt.nms_thd, opt.max_before_nms, opt.max_after_nms
+        )
+        nms_path = submission_path.replace(".jsonl", f"_nms_thd_{opt.nms_thd}.jsonl")
+        save_jsonl(sub_nms, nms_path)
+        metrics_nms = eval_submission(
+            sub_nms, gt_data, dataset_name=opt.dataset_name, num_workers=opt.num_workers
+        )
+        nms_metrics_path = nms_path.replace(".jsonl", "_metrics.json")
+        save_json(metrics_nms, nms_metrics_path, save_pretty=True)
+        latest_paths += [nms_path, nms_metrics_path]
+
+    return metrics, metrics_nms, loss_meters, latest_paths
+
+
+def inference(args=None):
+    logger.info("Inference Mode")
+    opt = TestOptions().parse(args)
+    from . import kernels
+
+    if opt.pallas_attention != "auto":
+        kernels.set_pallas_attention(opt.pallas_attention == "on")
+
+    compute_dtype = R.compute_dtype_from_opt(opt)
+    vocab = R.get_vocab(opt)
+    _, _, val_loaders, _ = R.build_loaders(opt, vocab, splits="val")
+    assert len(val_loaders) >= 1
+    split, loader = next(iter(val_loaders.items()))
+
+    model = R.build_model(opt, compute_dtype)
+    encode_text, frozen = R.build_text_encoder(opt, vocab, compute_dtype)
+
+    logger.info(f"Load checkpoint from {opt.resume}")
+    if opt.resume.endswith(".ckpt") and _is_torch_ckpt(opt.resume):
+        from .convert import load_torch_mesm_checkpoint
+
+        params, epoch = load_torch_mesm_checkpoint(opt.resume, R.build_model_config(opt))
+    else:
+        payload = load_checkpoint(opt.resume)
+        params, epoch = payload["model"], payload.get("epoch", -1)
+    params = jax.tree.map(jnp.asarray, params)
+    logger.info(f"Loaded model saved at epoch {epoch}")
+
+    from .parallel.step import make_eval_step
+
+    eval_step = make_eval_step(model, None, encode_text, with_loss=False)
+    save_name = f"{opt.dataset_name}_test_submission.jsonl"
+    t0 = time.time()
+    metrics, metrics_nms, _, _ = eval_epoch(
+        params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
+    )
+    logger.info(f"eval wall time {time.time() - t0:.1f}s")
+    logger.info("metrics_no_nms {}".format(pprint.pformat(metrics["brief"], indent=4)))
+    if metrics_nms is not None:
+        logger.info("metrics_nms {}".format(pprint.pformat(metrics_nms["brief"], indent=4)))
+    return metrics, metrics_nms
+
+
+def _is_torch_ckpt(path: str) -> bool:
+    try:
+        load_checkpoint(path)
+        return False
+    except Exception:
+        return True
+
+
+if __name__ == "__main__":
+    inference()

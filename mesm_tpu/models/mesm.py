@@ -269,6 +269,7 @@ class MESM(nn.Module):
         *,
         is_training: bool,
         deterministic: bool,
+        compute_neg: bool = True,
         clip_mask: Optional[jnp.ndarray] = None,  # (B, Lv) GT-span frames
         words_weight: Optional[jnp.ndarray] = None,  # (B, Lw)
         unknown_mask: Optional[jnp.ndarray] = None,  # (B, Lw)
@@ -368,6 +369,23 @@ class MESM(nn.Module):
         outputs_coord = jax.nn.sigmoid(self.span_embed(hs) + inverse_sigmoid(reference))
 
         # --- negative pass (mismatched text from other groups) --------------
+        # Only the saliency loss consumes it (criterion.py:147-162); pure
+        # inference can skip it entirely (compute_neg=False).
+        if not compute_neg:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(c.hidden_dim, jnp.float32))
+            saliency_scores = (
+                self.saliency_proj1(memory) * self.saliency_proj2(memory_global)[:, None]
+            ).sum(-1) * scale
+            out: Dict[str, jnp.ndarray] = {
+                "pred_logits": outputs_class[-1],
+                "pred_spans": outputs_coord[-1],
+                "saliency_scores": saliency_scores,
+            }
+            if c.aux_loss:
+                out["aux_pred_logits"] = outputs_class[:-1]
+                out["aux_pred_spans"] = outputs_coord[:-1]
+            return out
+
         neg_expanded_words_feat = expanded_words_feat[neg_idx_rows]
         neg_expanded_words_mask = expanded_words_mask[neg_idx_rows]
         neg_expanded_txt_position = expanded_txt_position[neg_idx_rows]

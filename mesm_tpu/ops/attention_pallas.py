@@ -1,0 +1,119 @@
+"""Fused multi-head attention Pallas kernel.
+
+Replaces the reference's unfused bmm -> masked_fill -> softmax -> bmm chain
+(reference model/attention.py:360-387). At MESM's geometry (L <= 600,
+head_dim 32/64) the whole per-(sample, head) attention fits in VMEM, so the
+kernel computes QK^T, masking, the max-subtracted softmax and the AV product
+in one pass — the (B, H, Lq, Lk) logits tensor never round-trips to HBM,
+which is the dominant cost of the unfused path at these sizes.
+
+Numerics match ops/attention.attention_core exactly (same scale convention:
+head_dim of the query embedding; same finite -1e9 masking; fp32 logits).
+
+Scope: the no-dropout, no-additive-bias case (the eval/serving hot path and
+the CLIP tower use it; training attention-dropout falls back to the XLA core
+via models/attention.dispatch_attention_core).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # (Lq, hd)
+    k = k_ref[0, 0]  # (Lk, hd)
+    v = v_ref[0, 0]  # (Lk, hdv)
+    m = mask_ref[0]  # (1, Lk) float, 1 = attendable
+
+    logits = jax.lax.dot_general(
+        (q * scale).astype(jnp.float32),
+        k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Lq, Lk)
+    logits = jnp.where(m > 0, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
+    B, Lq, E = q.shape
+    Lk = k.shape[1]
+    Ev = v.shape[-1]
+    H = num_heads
+    hd, hdv = E // H, Ev // H
+    scale = hd**-0.5
+
+    qh = q.reshape(B, Lq, H, hd).transpose(0, 2, 1, 3)  # (B,H,Lq,hd)
+    kh = k.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lk, H, hdv).transpose(0, 2, 1, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lq, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk), lambda b, h: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Lq, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, hdv), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Lq * Lk * (hd + hdv),
+            bytes_accessed=4 * B * H * (Lq * hd + Lk * hd + Lk * hdv + Lq * hdv),
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, mask)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    key_valid_mask: Optional[jnp.ndarray] = None,
+    logit_bias: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Drop-in for models/attention.attention_core. Falls back to the XLA core
+    when attention dropout is active or an additive bias is supplied."""
+    if (dropout_rate > 0.0 and not deterministic) or logit_bias is not None:
+        from ..models.attention import attention_core
+
+        return attention_core(
+            q, k, v,
+            num_heads=num_heads,
+            key_valid_mask=key_valid_mask,
+            logit_bias=logit_bias,
+            dropout_rate=dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+        )
+    B, Lk = k.shape[0], k.shape[1]
+    if key_valid_mask is None:
+        mask = jnp.ones((B, Lk), jnp.float32)
+    else:
+        mask = key_valid_mask.astype(jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+    return _fused_attention_impl(q, k, v, mask, num_heads, interpret)

@@ -155,6 +155,7 @@ def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: Encod
             neg_rows,
             is_training=False,
             deterministic=True,
+            compute_neg=with_loss,  # negatives only feed the eval loss
             **_model_kwargs(batch),
         )
         prob = jax.nn.softmax(out["pred_logits"], axis=-1)

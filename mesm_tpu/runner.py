@@ -1,0 +1,342 @@
+"""Builders: config -> vocab / loaders / model / text encoder / criterion /
+optimizer. Parity target: reference runner.py (build_vocab :25, build_dataloader
+:44, build_CLIP_text_encoder :167, build_model :255, build_matcher :301,
+build_criterion :309, build_optimizer :348).
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import Loader, Vocabulary, build_dataset
+from .data.collate import BatchSpec, make_collate
+from .data.datasets import VAL_SPLITS
+from .data.sampler import GroupAwareBatcher, RowBudgetBatcher
+from .losses import CriterionConfig
+from .models import CLIPTextEncoder, GloVeTextEncoder, MESM
+from .models.mesm import MESMConfig
+from .models.text_encoder import (
+    build_glove_embedding_matrix,
+    clip_encode_text,
+    glove_encode_text,
+    post_process_precomputed_text,
+)
+from .parallel.step import build_optimizer as build_tx
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# vocab
+# ---------------------------------------------------------------------------
+
+
+def build_vocab(opt) -> Vocabulary:
+    """Words from GloVe_tokenized_count.txt (reference runner.py:25-34)."""
+    words = set()
+    with open(os.path.join(opt.ann_path, "GloVe_tokenized_count.txt")) as f:
+        for line in f:
+            words.add(line.split(" ")[0])
+    return Vocabulary(words)
+
+
+def build_vocab_from_pkl(opt) -> Dict:
+    with open(os.path.join(opt.ann_path, "glove.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def get_vocab(opt):
+    if opt.tokenizer_type == "GloVeSimple":
+        return build_vocab(opt)
+    if opt.tokenizer_type == "GloVeNLTK":
+        return build_vocab_from_pkl(opt) if opt.load_vocab_pkl else build_vocab(opt)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+
+def _auto_row_capacity(dataset, batch_size: int) -> int:
+    rows = [len(e["video_id"]) for e in dataset.merged_data]
+    mean_rows = sum(rows) / max(len(rows), 1)
+    cap = int(math.ceil(batch_size * mean_rows))
+    return max(cap, max(rows), 2)
+
+
+def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
+    group_cap = opt.group_capacity or min(
+        dataset.max_group_size(),
+        opt.max_gather_size if opt.max_gather_size > 0 else dataset.max_group_size(),
+    )
+    multi = opt.dataset_name == "qvhighlights"
+    row_cap = opt.row_capacity or _auto_row_capacity(
+        dataset, opt.eval_batch_size if for_eval else opt.batch_size
+    )
+    return BatchSpec(
+        row_capacity=row_cap,
+        max_video_l=opt.max_video_l,
+        group_capacity=group_cap,
+        multi_clip=multi,
+        max_windows=opt.max_windows,
+        ss_video_l=(group_cap * opt.max_video_l) if (multi and opt.rec_ss) else 0,
+        contra_pairs=2 if multi else max(opt.contra_samples, 1),
+        recfw=opt.rec_fw,
+        with_targets=not (multi and dataset.split == "test"),
+    )
+
+
+def build_loaders(opt, vocab=None, splits: str = "train+val"):
+    """Returns (train_loader, val_loaders, specs). Mirrors reference
+    build_dataloader (runner.py:44-157) with TPU batch packing."""
+    train_loader = None
+    train_spec = None
+    if "train" in splits:
+        train_ds = build_dataset(opt, "train", recfw=opt.rec_fw, vocab=vocab)
+        train_spec = make_batch_spec(opt, train_ds, for_eval=False)
+        batcher_cls = GroupAwareBatcher if opt.max_gather_size > 0 else RowBudgetBatcher
+        batcher = batcher_cls(train_ds, train_spec.row_capacity, shuffle=True, seed=opt.seed)
+        train_loader = Loader(
+            train_ds, batcher, make_collate(train_spec), num_workers=min(opt.num_workers, 4)
+        )
+
+    val_loaders = {}
+    val_specs = {}
+    if "val" in splits:
+        for split in VAL_SPLITS[opt.dataset_name]:
+            ds = build_dataset(opt, split, recfw=False, vocab=vocab)
+            spec = make_batch_spec(opt, ds, for_eval=True)
+            batcher = RowBudgetBatcher(
+                ds, spec.row_capacity, shuffle=False, drop_single_group=False
+            )
+            val_loaders[split] = Loader(
+                ds, batcher, make_collate(spec), num_workers=min(opt.num_workers, 4)
+            )
+            val_specs[split] = spec
+    return train_loader, train_spec, val_loaders, val_specs
+
+
+# ---------------------------------------------------------------------------
+# text encoders (frozen)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_torch_weights(state_dict) -> Tuple[dict, dict]:
+    """torch CLIP-text state dict -> (flax params, arch dict). Architecture is
+    inferred from tensor shapes like the reference (runner.py:167-187)."""
+    import torch
+
+    def np_(t):
+        return np.asarray(t.detach().to(torch.float32).numpy())
+
+    arch = dict(
+        embed_dim=state_dict["text_projection"].shape[1],
+        context_length=state_dict["positional_embedding"].shape[0],
+        vocab_size=state_dict["token_embedding.weight"].shape[0],
+        width=state_dict["ln_final.weight"].shape[0],
+    )
+    arch["heads"] = arch["width"] // 64
+    arch["layers"] = len(
+        {k.split(".")[2] for k in state_dict if k.startswith("transformer.resblocks")}
+    )
+
+    params = {
+        "token_embedding": np_(state_dict["token_embedding.weight"]),
+        "positional_embedding": np_(state_dict["positional_embedding"]),
+        "text_projection": np_(state_dict["text_projection"]),
+        "ln_final": {
+            "scale": np_(state_dict["ln_final.weight"]),
+            "bias": np_(state_dict["ln_final.bias"]),
+        },
+    }
+    for i in range(arch["layers"]):
+        pfx = f"transformer.resblocks.{i}."
+        params[f"resblock{i}"] = {
+            "ln_1": {
+                "scale": np_(state_dict[pfx + "ln_1.weight"]),
+                "bias": np_(state_dict[pfx + "ln_1.bias"]),
+            },
+            "ln_2": {
+                "scale": np_(state_dict[pfx + "ln_2.weight"]),
+                "bias": np_(state_dict[pfx + "ln_2.bias"]),
+            },
+            "attn_in_proj_kernel": np_(state_dict[pfx + "attn.in_proj_weight"]).T,
+            "attn_in_proj_bias": np_(state_dict[pfx + "attn.in_proj_bias"]),
+            "attn_out_proj": {
+                "kernel": np_(state_dict[pfx + "attn.out_proj.weight"]).T,
+                "bias": np_(state_dict[pfx + "attn.out_proj.bias"]),
+            },
+            "mlp_c_fc": {
+                "kernel": np_(state_dict[pfx + "mlp.c_fc.weight"]).T,
+                "bias": np_(state_dict[pfx + "mlp.c_fc.bias"]),
+            },
+            "mlp_c_proj": {
+                "kernel": np_(state_dict[pfx + "mlp.c_proj.weight"]).T,
+                "bias": np_(state_dict[pfx + "mlp.c_proj.bias"]),
+            },
+        }
+    return params, arch
+
+
+def build_clip_text_encoder(path: str, compute_dtype) -> Tuple[CLIPTextEncoder, dict]:
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(state_dict, "state_dict"):
+        state_dict = state_dict.state_dict()
+    for key in ("input_resolution", "context_length", "vocab_size"):
+        state_dict.pop(key, None)
+    params, arch = convert_clip_torch_weights(state_dict)
+    model = CLIPTextEncoder(
+        embed_dim=arch["embed_dim"],
+        context_length=arch["context_length"],
+        vocab_size=arch["vocab_size"],
+        width=arch["width"],
+        heads=arch["heads"],
+        layers=arch["layers"],
+        dtype=compute_dtype,
+    )
+    return model, jax.tree.map(jnp.asarray, params)
+
+
+def load_glove_vectors(path: str) -> Dict[str, np.ndarray]:
+    vectors = {}
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            word = " ".join(parts[:-300])
+            vectors[word] = np.asarray(parts[-300:], dtype=np.float32)
+    return vectors
+
+
+def build_text_encoder(opt, vocab=None, compute_dtype=jnp.float32):
+    """Returns (encode_text_fn, frozen_params). encode_text_fn(frozen, batch)
+    -> (words_feat, words_mask, sentence_feat), each truncated/derived per the
+    reference's three text paths (model/model.py:103-152)."""
+    normalize_txt = opt.normalize_txt
+    max_words_l = opt.max_words_l
+
+    if opt.tokenizer_type == "CLIP":
+        clip_model, clip_params = build_clip_text_encoder(opt.text_model_path, compute_dtype)
+
+        def encode(frozen, batch):
+            ids = batch["words_id"]
+            mask = ids != 0
+            wf, sf, _, m = clip_encode_text(
+                clip_model, frozen, ids, mask, max_words_l, normalize_txt
+            )
+            return wf, m, sf
+
+        return encode, clip_params
+
+    if opt.tokenizer_type == "GloVeSimple" or (
+        opt.tokenizer_type == "GloVeNLTK" and not opt.load_vocab_pkl
+    ):
+        vectors = load_glove_vectors(opt.text_model_path)
+        table = build_glove_embedding_matrix(vocab.itow, vectors, seed=opt.seed)
+        glove = GloVeTextEncoder(num_embeddings=len(vocab), features=table.shape[1])
+        frozen = {"embedding": jnp.asarray(table)}
+
+        def encode(frozen_p, batch):
+            ids = batch["words_id"]
+            mask = ids != 0
+            wf, sf = glove_encode_text(glove, frozen_p, ids, mask, normalize_txt)
+            return wf, mask, sf
+
+        return encode, frozen
+
+    # GloVeNLTK + load_vocab_pkl: precomputed 300-d features as words_id
+    def encode(frozen_p, batch):
+        wf, mask, sf = post_process_precomputed_text(batch["words_id"], normalize_txt)
+        return wf, mask, sf
+
+    return encode, {}
+
+
+# ---------------------------------------------------------------------------
+# model / criterion / optimizer
+# ---------------------------------------------------------------------------
+
+
+def build_model_config(opt, compute_dtype=jnp.float32) -> MESMConfig:
+    if opt.tokenizer_type == "CLIP":
+        num_classes = opt.vocab_size + 3
+    else:
+        num_classes = opt.vocab_size + 1
+    t_feat_dim = opt.t_feat_dim
+    return MESMConfig(
+        hidden_dim=opt.hidden_dim,
+        v_feat_dim=opt.v_feat_dim,
+        t_feat_dim=t_feat_dim,
+        nheads=opt.nheads,
+        dim_feedforward=opt.dim_feedforward,
+        num_recfw_layers=opt.num_recfw_layers,
+        t2v_layers=opt.t2v_layers,
+        enc_layers=opt.enc_layers,
+        dec_layers=opt.dec_layers,
+        num_recss_layers=opt.num_recss_layers,
+        num_queries=opt.num_queries,
+        dropout=opt.dropout,
+        input_dropout=opt.input_dropout,
+        n_input_proj=opt.n_input_proj,
+        use_txt_pos=opt.use_txt_pos,
+        max_words_l=opt.max_words_l,
+        max_video_l=opt.max_video_l,
+        rec_fw=opt.rec_fw,
+        rec_ss=opt.rec_ss,
+        share_mlp=opt.share_MLP,
+        aux_loss=opt.aux_loss,
+        num_classes=num_classes,
+        dtype=compute_dtype,
+    )
+
+
+def build_model(opt, compute_dtype=jnp.float32) -> MESM:
+    return MESM(build_model_config(opt, compute_dtype))
+
+
+def build_criterion_config(opt) -> CriterionConfig:
+    return CriterionConfig(
+        span_coef=opt.loss_span_coef,
+        giou_coef=opt.loss_giou_coef,
+        label_coef=opt.loss_label_coef,
+        saliency_coef=opt.loss_saliency_coef,
+        recfw_coef=opt.loss_recfw_coef,
+        recss_coef=opt.loss_recss_coef,
+        cost_span=opt.set_cost_span,
+        cost_giou=opt.set_cost_giou,
+        cost_class=opt.set_cost_class,
+        eos_coef=opt.eos_coef,
+        rank_coef=opt.rank_coef,
+        use_triplet=opt.use_triplet,
+        saliency_margin=opt.saliency_margin,
+        multi_clip=opt.dataset_name == "qvhighlights",
+        iou_gamma=opt.iou_gamma,
+        recss_tau=opt.recss_tau,
+        rec_fw=opt.rec_fw,
+        rec_ss=opt.rec_ss,
+        aux_loss=opt.aux_loss,
+        dec_layers=opt.dec_layers,
+    )
+
+
+def build_optimizer(opt):
+    """AdamW + global-norm clip (reference runner.py:348-352 + train.py:70-72)."""
+    return build_tx(lr=opt.lr, weight_decay=opt.weight_decay, grad_clip=opt.grad_clip)
+
+
+def step_lr(base_lr: float, epoch: int, lr_drop: int, gamma: float) -> float:
+    """torch StepLR: lr * gamma^(epoch // lr_drop)."""
+    return base_lr * (gamma ** (epoch // lr_drop))
+
+
+def compute_dtype_from_opt(opt):
+    return jnp.bfloat16 if getattr(opt, "compute_dtype", "float32") == "bfloat16" else jnp.float32

@@ -1,0 +1,96 @@
+"""Attention core vs numpy oracle, and the fused Pallas kernel (interpret mode
+on CPU) vs the XLA core."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mesm_tpu.models.attention import attention_core
+from mesm_tpu.ops.attention_pallas import fused_attention
+
+
+def np_attention(q, k, v, num_heads, key_valid=None):
+    B, Lq, E = q.shape
+    Lk, Ev = k.shape[1], v.shape[-1]
+    hd, hdv = E // num_heads, Ev // num_heads
+    out = np.zeros((B, Lq, Ev), np.float32)
+    for b in range(B):
+        for h in range(num_heads):
+            qh = q[b, :, h * hd : (h + 1) * hd] * hd**-0.5
+            kh = k[b, :, h * hd : (h + 1) * hd]
+            vh = v[b, :, h * hdv : (h + 1) * hdv]
+            logits = qh @ kh.T
+            if key_valid is not None:
+                logits = np.where(key_valid[b][None, :], logits, -1e9)
+            logits = logits - logits.max(-1, keepdims=True)
+            p = np.exp(logits)
+            p = p / p.sum(-1, keepdims=True)
+            out[b, :, h * hdv : (h + 1) * hdv] = p @ vh
+    return out
+
+
+def _rand_qkv(rng, B=3, Lq=10, Lk=17, E=32, Ev=16, H=4):
+    q = rng.normal(size=(B, Lq, E)).astype(np.float32)
+    k = rng.normal(size=(B, Lk, E)).astype(np.float32)
+    v = rng.normal(size=(B, Lk, Ev)).astype(np.float32)
+    lens = rng.integers(3, Lk + 1, B)
+    mask = np.arange(Lk)[None] < lens[:, None]
+    return q, k, v, mask
+
+
+def test_core_matches_oracle():
+    rng = np.random.default_rng(0)
+    q, k, v, mask = _rand_qkv(rng)
+    out = attention_core(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(out), np_attention(q, k, v, 4, mask), atol=1e-5)
+
+
+def test_core_different_vdim():
+    """decoder cross-attn: 2*d queries/keys, d values."""
+    rng = np.random.default_rng(1)
+    q, k, v, mask = _rand_qkv(rng, E=64, Ev=32)
+    out = attention_core(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(out), np_attention(q, k, v, 4, mask), atol=1e-5)
+
+
+def test_fused_pallas_matches_core():
+    rng = np.random.default_rng(2)
+    for shape in [dict(), dict(E=64, Ev=32), dict(B=2, Lq=48, Lk=48, E=32, Ev=32)]:
+        q, k, v, mask = _rand_qkv(rng, **shape)
+        ours = fused_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+        )
+        ref = attention_core(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_pallas_no_mask():
+    rng = np.random.default_rng(3)
+    q, k, v, _ = _rand_qkv(rng)
+    ours = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, None)
+    ref = attention_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_falls_back_for_dropout_and_bias():
+    rng = np.random.default_rng(4)
+    q, k, v, mask = _rand_qkv(rng)
+    bias = np.zeros((1, 1, 10, 17), np.float32)
+    out = fused_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask),
+        logit_bias=jnp.asarray(bias),
+    )
+    ref = attention_core(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    out2 = fused_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask),
+        dropout_rate=0.5, deterministic=False, dropout_rng=jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(out2)).all()
