@@ -31,7 +31,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]  # (Lq, hd)
     k = k_ref[0, 0]  # (Lk, hd)
     v = v_ref[0, 0]  # (Lk, hdv)
-    m = mask_ref[0]  # (1, Lk) float, 1 = attendable
+    m = mask_ref[0]  # (1, Lk) float, 1 = attendable (broadcasts over Lq)
 
     logits = jax.lax.dot_general(
         (q * scale).astype(jnp.float32),
@@ -61,6 +61,9 @@ def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
     qh = q.reshape(B, Lq, H, hd).transpose(0, 2, 1, 3)  # (B,H,Lq,hd)
     kh = k.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Lk, H, hdv).transpose(0, 2, 1, 3)
+    # Mosaic requires the last two block dims to be (8,128)-divisible or equal
+    # to the array dims; a (B, 1, Lk) mask with (1, 1, Lk) blocks satisfies it.
+    mask3 = mask.reshape(B, 1, Lk)
 
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale),
@@ -69,7 +72,7 @@ def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
             pl.BlockSpec((1, 1, Lq, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lk, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lk, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk), lambda b, h: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, Lq, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
@@ -81,7 +84,7 @@ def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
             transcendentals=B * H * Lq * Lk,
         ),
         interpret=interpret,
-    )(qh, kh, vh, mask)
+    )(qh, kh, vh, mask3)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev)
 
 

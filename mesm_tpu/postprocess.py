@@ -97,6 +97,11 @@ def temporal_nms(predictions: List[list], nms_thd: float, max_after_nms: int = 1
     (reference utils/temporal_nms.py:25-74)."""
     if len(predictions) == 1:
         return predictions
+    from .native import temporal_nms_native
+
+    kept_idx = temporal_nms_native(np.asarray(predictions, dtype=float), nms_thd, max_after_nms)
+    if kept_idx is not None:
+        return [predictions[i] for i in kept_idx]
     pool = sorted(predictions, key=lambda x: x[2], reverse=True)
     kept: List[list] = []
     while pool and len(kept) < max_after_nms:
