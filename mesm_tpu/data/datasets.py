@@ -140,7 +140,8 @@ class BaseDataset:
         self.vocab_size = vocab_size
         self.max_gather_size = max_gather_size
         self.store = FeatureStore(feat_files, normalize=normalize_video)
-        self.rng = np.random.default_rng(seed)
+        self._rng = np.random.default_rng(seed)
+        self._rng_lock = __import__("threading").Lock()
 
         if tokenizer_type == "CLIP":
             id2label = load_clip_keep_vocab(ann_path, vocab_size) if recfw else None
@@ -202,6 +203,12 @@ class BaseDataset:
     def max_group_size(self) -> int:
         return max(len(e["video_id"]) for e in self.merged_data)
 
+    def item_rng(self) -> np.random.Generator:
+        """Per-item generator (thread-safe: loader workers call __getitem__
+        concurrently; numpy Generators are not thread-safe to share)."""
+        with self._rng_lock:
+            return self._rng.spawn(1)[0]
+
     def __getitem__(self, index: int) -> Dict:
         meta = self.merged_data[index]
         num_clips = len(meta["video_id"])
@@ -217,6 +224,7 @@ class BaseDataset:
             start_idx = [int(i * L) for i in start_idx]
             end_idx = [int(i * L) for i in end_idx]
 
+        rng = self.item_rng()
         clip_mask = np.zeros((num_clips, L), bool)
         pos_idx = np.zeros((num_clips, max(self.contra_samples, 1)), np.int64)
         neg_idx = np.zeros_like(pos_idx)
@@ -228,12 +236,12 @@ class BaseDataset:
             if self.contra_samples > 0:
                 span = np.arange(s, e + 1)
                 replace = len(span) < self.contra_samples
-                pos_idx[i] = self.rng.choice(span, self.contra_samples, replace=replace)
+                pos_idx[i] = rng.choice(span, self.contra_samples, replace=replace)
                 pool = np.concatenate([np.arange(0, s), np.arange(e + 1, L)])
                 if len(pool) == 0:
                     pool = span  # degenerate: whole video is the span
                 replace = len(pool) < self.contra_samples
-                neg_idx[i] = self.rng.choice(pool, self.contra_samples, replace=replace)
+                neg_idx[i] = rng.choice(pool, self.contra_samples, replace=replace)
 
         return {
             "num_clips": num_clips,
@@ -361,10 +369,10 @@ class CharadesCGDataset(_CharadesJsonDataset):
 
 class CharadesCDDataset(_CharadesJsonDataset):
     split_files = {
-        "train": "train.json",
-        "test_ood": "test_ood.json",
-        "test_iid": "test_iid.json",
-        "val": "val.json",
+        "train": "charades_train.json",
+        "val": "charades_val.json",
+        "test_iid": "charades_test_iid.json",
+        "test_ood": "charades_test_ood.json",
     }
 
 

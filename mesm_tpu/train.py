@@ -197,7 +197,9 @@ def train(args=None):
         start_epoch = -1
 
     train_step = make_train_step(model, ccfg, encode_text, tx)
-    eval_step = make_eval_step(model, ccfg, encode_text, with_loss=False)
+    # eval during training also reports criterion losses (reference
+    # train.py:156 -> eval.py:101-105); rec_fw is skipped at eval.
+    eval_step = make_eval_step(model, ccfg, encode_text, with_loss=True)
 
     tb_writer = None
     try:
@@ -225,7 +227,7 @@ def train(args=None):
             for key, val_loader in val_loaders.items():
                 logger.info(f"Evaluating {key} split")
                 fname = f"{key}_latest_{opt.dataset_name}_val_preds.jsonl"
-                metrics, metrics_nms, _, latest_paths = eval_epoch(
+                metrics, metrics_nms, eval_loss_meters, latest_paths = eval_epoch(
                     state.params,
                     frozen,
                     eval_step,
@@ -233,14 +235,27 @@ def train(args=None):
                     opt,
                     fname,
                     val_loader.dataset.data,
+                    with_loss=True,
                 )
+                loss_str = ""
+                if eval_loss_meters:
+                    weight_map = _weight_map(opt)
+                    loss_str = " ".join(
+                        f"{k} {v.avg * weight_map.get(k, 1.0):.4f}"
+                        for k, v in eval_loss_meters.items()
+                    )
+                    if tb_writer is not None:
+                        for k, v in eval_loss_meters.items():
+                            tb_writer.add_scalar(
+                                f"Eval/{k}", v.avg * weight_map.get(k, 1.0), epoch_i + 1
+                            )
                 with open(opt.eval_log_filepath, "a") as f:
                     f.write(
                         EVAL_LOG_FMT.format(
                             time_str=time.strftime("%Y_%m_%d_%H_%M_%S"),
                             epoch=epoch_i,
                             split=key,
-                            loss_str="",
+                            loss_str=loss_str,
                             eval_metrics_str=json.dumps(metrics),
                         )
                     )
