@@ -111,14 +111,19 @@ def main():
         dt = time.perf_counter() - t0
         return B * iters / dt
 
-    # optimized: fused pallas attention + inference-only forward
+    # optimized: size-dispatched fused attention + inference-only forward
     kernels.set_pallas_attention(jax.default_backend() != "cpu")
-    log("compiling + measuring optimized path")
+    log("compiling + measuring optimized path (pallas auto, no neg pass)")
     fast = measure(make_fn(compute_neg=False))
     log(f"optimized: {fast:.1f} rows/s")
 
-    # faithful-port baseline: XLA attention, full reference inference forward
+    # diagnostics: XLA-only inference forward (isolates the kernel's share)
     kernels.set_pallas_attention(False)
+    log("compiling + measuring xla-only no-neg diagnostic")
+    xla_noneg = measure(make_fn(compute_neg=False))
+    log(f"xla no-neg: {xla_noneg:.1f} rows/s")
+
+    # faithful-port baseline: XLA attention, full reference inference forward
     log("compiling + measuring faithful-port baseline")
     base = measure(make_fn(compute_neg=True))
     log(f"baseline: {base:.1f} rows/s")

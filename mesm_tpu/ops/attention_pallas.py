@@ -26,6 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Below this logits area, per-block kernel overhead beats the HBM savings and
+# the XLA core wins (measured on v5e: the model's 10x195 decoder and 195x17
+# t2v sites regress under the kernel; the 195x195 encoder self-attn gains
+# ~2.8x). Tune per generation if needed.
+MIN_FUSED_LQ = 64
+MIN_FUSED_LK = 64
+
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]  # (Lq, hd)
@@ -101,7 +108,8 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Drop-in for models/attention.attention_core. Falls back to the XLA core
     when attention dropout is active or an additive bias is supplied."""
-    if (dropout_rate > 0.0 and not deterministic) or logit_bias is not None:
+    small = q.shape[1] < MIN_FUSED_LQ or k.shape[1] < MIN_FUSED_LK
+    if (dropout_rate > 0.0 and not deterministic) or logit_bias is not None or small:
         from ..models.attention import attention_core
 
         return attention_core(
