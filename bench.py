@@ -20,20 +20,11 @@ import numpy as np
 
 
 def main():
-    import os
-
     import jax
 
-    # persistent compilation cache: the two full-model TPU compiles dominate
-    # bench wall time; cache them across runs.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+    # NOTE: do not enable jax_compilation_cache_dir here — executable
+    # serialization is not supported over this environment's remote-compile
+    # relay and stalls the compile (observed: 8 min -> 25+ min).
     import jax.numpy as jnp
 
     from mesm_tpu import kernels
@@ -117,16 +108,37 @@ def main():
     fast = measure(make_fn(compute_neg=False))
     log(f"optimized: {fast:.1f} rows/s")
 
-    # diagnostics: XLA-only inference forward (isolates the kernel's share)
-    kernels.set_pallas_attention(False)
-    log("compiling + measuring xla-only no-neg diagnostic")
-    xla_noneg = measure(make_fn(compute_neg=False))
-    log(f"xla no-neg: {xla_noneg:.1f} rows/s")
-
     # faithful-port baseline: XLA attention, full reference inference forward
-    log("compiling + measuring faithful-port baseline")
-    base = measure(make_fn(compute_neg=True))
-    log(f"baseline: {base:.1f} rows/s")
+    # (negative pass included, as the reference computes at eval —
+    # eval.py:63). Its semantics are frozen, so the measurement is cached in
+    # the repo to avoid re-paying its multi-minute compile every bench run;
+    # delete BENCH_BASELINE.json to re-measure.
+    import os as _os
+
+    cache_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    backend = jax.default_backend()
+    key = f"{backend}-B{B}-Lv{Lv}-Dv{Dv}"
+    base = None
+    if _os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cached = json.load(f)
+        if cached.get("key") == key:
+            base = cached["baseline_rows_per_sec"]
+            log(f"baseline (cached {cached.get('measured')}): {base:.1f} rows/s")
+    if base is None:
+        kernels.set_pallas_attention(False)
+        log("compiling + measuring faithful-port baseline")
+        base = measure(make_fn(compute_neg=True))
+        log(f"baseline: {base:.1f} rows/s")
+        import datetime
+
+        with open(cache_path, "w") as f:
+            json.dump(
+                {"key": key, "baseline_rows_per_sec": base,
+                 "measured": datetime.date.today().isoformat()}, f,
+            )
     kernels.set_pallas_attention(None)
 
     print(json.dumps({

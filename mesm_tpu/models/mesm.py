@@ -288,18 +288,7 @@ class MESM(nn.Module):
         vid_position = self.vid_position_embed(video_mask).astype(projed_video_feat.dtype)
         txt_position = self._txt_pos(projed_words_feat, det)
 
-        # --- FW-MESM enhance: video queries text ---------------------------
-        if c.rec_fw:
-            enhanced_video_feat = self.enhance_encoder(
-                projed_words_feat,
-                projed_video_feat,
-                words_mask,
-                txt_position,
-                vid_position,
-                deterministic=det,
-            )
-        else:
-            enhanced_video_feat = projed_video_feat
+        # (FW-MESM enhance happens below, stacked with the negative pass.)
 
         # --- SS-MESM: reconstruct own sentence from group video ------------
         if c.rec_ss:
@@ -338,44 +327,106 @@ class MESM(nn.Module):
 
         expanded_txt_position = self._txt_pos(expanded_words_feat, det)
 
-        # --- aligner + DETR -------------------------------------------------
-        encoded_video_feat = self.t2v_encoder(
-            expanded_words_feat,
-            enhanced_video_feat,
-            expanded_words_mask,
-            expanded_txt_position,
-            vid_position,
-            deterministic=det,
-        )
+        # --- aligner + DETR (positive, and negative when requested) ---------
+        # The negative pass (mismatched text from other groups,
+        # reference model.py:260-299) feeds only the saliency loss
+        # (criterion.py:147-162). It shares every module with the positive
+        # pass, so when computed it is STACKED into the batch dim (2B rows:
+        # [positive | negative]) — one traversal of enhance/t2v/transformer
+        # instead of two, which halves the compiled graph. Row-wise math is
+        # identical to two separate calls. Pure inference skips it entirely.
+        if compute_neg:
+            neg_expanded_words_feat = expanded_words_feat[neg_idx_rows]
+            neg_expanded_words_mask = expanded_words_mask[neg_idx_rows]
+            neg_expanded_txt_position = expanded_txt_position[neg_idx_rows]
+            if c.rec_ss:  # the recon token is dropped for the enhance input
+                neg_words_feat = neg_expanded_words_feat[:, 1:, :]
+                neg_words_mask = neg_expanded_words_mask[:, 1:]
+                neg_txt_position = neg_expanded_txt_position[:, 1:, :]
+            else:
+                neg_words_feat = neg_expanded_words_feat
+                neg_words_mask = neg_expanded_words_mask
+                neg_txt_position = neg_expanded_txt_position
+
+            def stack(a, b):
+                return jnp.concatenate([a, b], axis=0)
+
+            video2 = stack(projed_video_feat, projed_video_feat)
+            vid_position2 = stack(vid_position, vid_position)
+            video_mask2 = stack(video_mask, video_mask)
+            if c.rec_fw:
+                enhanced2 = self.enhance_encoder(
+                    stack(projed_words_feat, neg_words_feat),
+                    video2,
+                    stack(words_mask, neg_words_mask),
+                    stack(txt_position, neg_txt_position),
+                    vid_position2,
+                    deterministic=det,
+                )
+            else:
+                enhanced2 = video2
+            enhanced_video_feat = enhanced2[:B]
+
+            encoded2 = self.t2v_encoder(
+                stack(expanded_words_feat, neg_expanded_words_feat),
+                enhanced2,
+                stack(expanded_words_mask, neg_expanded_words_mask),
+                stack(expanded_txt_position, neg_expanded_txt_position),
+                vid_position2,
+                deterministic=det,
+            )
+            n_rows, t_mask, t_pos = 2 * B, video_mask2, vid_position2
+            encoded_video_feat = encoded2
+        else:
+            if c.rec_fw:
+                enhanced_video_feat = self.enhance_encoder(
+                    projed_words_feat,
+                    projed_video_feat,
+                    words_mask,
+                    txt_position,
+                    vid_position,
+                    deterministic=det,
+                )
+            else:
+                enhanced_video_feat = projed_video_feat
+            encoded_video_feat = self.t2v_encoder(
+                expanded_words_feat,
+                enhanced_video_feat,
+                expanded_words_mask,
+                expanded_txt_position,
+                vid_position,
+                deterministic=det,
+            )
+            n_rows, t_mask, t_pos = B, video_mask, vid_position
 
         global_token = jnp.broadcast_to(
-            self.global_rep_token[None, None, :], (B, 1, c.hidden_dim)
+            self.global_rep_token[None, None, :], (n_rows, 1, c.hidden_dim)
         ).astype(encoded_video_feat.dtype)
         global_token_pos = jnp.broadcast_to(
-            self.global_rep_pos[None, None, :], (B, 1, c.hidden_dim)
+            self.global_rep_pos[None, None, :], (n_rows, 1, c.hidden_dim)
         ).astype(encoded_video_feat.dtype)
 
-        hs, reference, memory, memory_global = self.transformer(
+        hs_all, reference_all, memory_all, memory_global_all = self.transformer(
             encoded_video_feat,
-            video_mask,
+            t_mask,
             self.query_embed,
-            vid_position,
+            t_pos,
             global_token,
             global_token_pos,
             deterministic=det,
         )
+        hs, reference = hs_all[:, :B], reference_all[:, :B]
+        memory, memory_global = memory_all[:B], memory_global_all[:B]
 
         outputs_class = self.class_embed(hs)  # (#layers, B, nq, 2)
         outputs_coord = jax.nn.sigmoid(self.span_embed(hs) + inverse_sigmoid(reference))
 
-        # --- negative pass (mismatched text from other groups) --------------
-        # Only the saliency loss consumes it (criterion.py:147-162); pure
-        # inference can skip it entirely (compute_neg=False).
+        scale = 1.0 / jnp.sqrt(jnp.asarray(c.hidden_dim, jnp.float32))
+        saliency_scores = (
+            self.saliency_proj1(memory) * self.saliency_proj2(memory_global)[:, None]
+        ).sum(-1) * scale
+
         if not compute_neg:
-            scale = 1.0 / jnp.sqrt(jnp.asarray(c.hidden_dim, jnp.float32))
-            saliency_scores = (
-                self.saliency_proj1(memory) * self.saliency_proj2(memory_global)[:, None]
-            ).sum(-1) * scale
             out: Dict[str, jnp.ndarray] = {
                 "pred_logits": outputs_class[-1],
                 "pred_spans": outputs_coord[-1],
@@ -386,51 +437,7 @@ class MESM(nn.Module):
                 out["aux_pred_spans"] = outputs_coord[:-1]
             return out
 
-        neg_expanded_words_feat = expanded_words_feat[neg_idx_rows]
-        neg_expanded_words_mask = expanded_words_mask[neg_idx_rows]
-        neg_expanded_txt_position = expanded_txt_position[neg_idx_rows]
-        if c.rec_ss:
-            neg_words_feat = neg_expanded_words_feat[:, 1:, :]
-            neg_words_mask = neg_expanded_words_mask[:, 1:]
-            neg_txt_position = neg_expanded_txt_position[:, 1:, :]
-        else:
-            neg_words_feat = neg_expanded_words_feat
-            neg_words_mask = neg_expanded_words_mask
-            neg_txt_position = neg_expanded_txt_position
-
-        if c.rec_fw:
-            neg_enhanced_video_feat = self.enhance_encoder(
-                neg_words_feat,
-                projed_video_feat,
-                neg_words_mask,
-                neg_txt_position,
-                vid_position,
-                deterministic=det,
-            )
-        else:
-            neg_enhanced_video_feat = projed_video_feat
-        neg_encoded_video_feat = self.t2v_encoder(
-            neg_expanded_words_feat,
-            neg_enhanced_video_feat,
-            neg_expanded_words_mask,
-            neg_expanded_txt_position,
-            vid_position,
-            deterministic=det,
-        )
-        _, _, neg_memory, neg_memory_global = self.transformer(
-            neg_encoded_video_feat,
-            video_mask,
-            self.query_embed,
-            vid_position,
-            global_token,
-            global_token_pos,
-            deterministic=det,
-        )
-
-        scale = 1.0 / jnp.sqrt(jnp.asarray(c.hidden_dim, jnp.float32))
-        saliency_scores = (
-            self.saliency_proj1(memory) * self.saliency_proj2(memory_global)[:, None]
-        ).sum(-1) * scale
+        neg_memory, neg_memory_global = memory_all[B:], memory_global_all[B:]
         neg_saliency_scores = (
             self.saliency_proj1(neg_memory) * self.saliency_proj2(neg_memory_global)[:, None]
         ).sum(-1) * scale

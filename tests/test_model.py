@@ -169,6 +169,43 @@ def test_eval_mode_skips_mlm(full_run):
     assert "recfw_words_logit" not in out
 
 
+def test_stacked_neg_pass_matches_single():
+    """The negative pass is stacked into the batch dim; positive predictions
+    must be bit-comparable to the inference path that skips negatives."""
+    batch = make_batch(np.random.default_rng(5), B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=G)
+    cfg = small_cfg()
+    model, variables, out_with_neg = init_and_apply(cfg, batch, is_training=False)
+    neg_rows = jnp.asarray(sample_neg_rows(np.random.default_rng(1), batch["group_id"]))
+    out_no_neg = model.apply(
+        variables,
+        jnp.asarray(batch["video_feat"]),
+        jnp.asarray(batch["video_mask"]),
+        jnp.asarray(batch["words_feat"]),
+        jnp.asarray(batch["words_mask"]),
+        jnp.asarray(batch["sentence_feat"]),
+        neg_rows,
+        is_training=False,
+        deterministic=True,
+        compute_neg=False,
+        clip_mask=jnp.asarray(batch["clip_mask"]),
+        words_weight=jnp.asarray(batch["words_weight"]),
+        unknown_mask=jnp.asarray(batch["unknown_mask"]),
+        ss_sent_idx=jnp.asarray(batch["ss_sent_idx"]),
+        ss_sent_mask=jnp.asarray(batch["ss_sent_mask"]),
+        ss_own_pos=jnp.asarray(batch["ss_own_pos"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_with_neg["pred_spans"]), np.asarray(out_no_neg["pred_spans"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_with_neg["saliency_scores"]),
+        np.asarray(out_no_neg["saliency_scores"]),
+        atol=1e-5,
+    )
+    assert "neg_saliency_scores" in out_with_neg and "neg_saliency_scores" not in out_no_neg
+
+
 def test_no_rec_variants():
     batch = make_batch(np.random.default_rng(2), B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=G)
     cfg = small_cfg(rec_fw=False, rec_ss=False)
