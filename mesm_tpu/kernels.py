@@ -1,15 +1,17 @@
 """Global kernel dispatch switches.
 
-`use_pallas_attention` gates the fused Pallas attention kernel. Default: on
-for TPU backends, off elsewhere (the XLA einsum core is used on CPU, where
-Pallas TPU kernels cannot run). Override explicitly for benchmarking either
-path via `set_pallas_attention`.
+`use_pallas_attention` gates the fused Pallas attention kernel
+(ops/attention_pallas.py). Default: OFF. Measured on v5e at MESM geometry
+(hidden 256, Lv<=194): the model is latency/op-count-bound, and inserting the
+custom call breaks XLA's fusion around attention — the end-to-end eval step is
+~25% slower with the kernel than pure XLA, even though the isolated kernel
+beats isolated XLA attention 2.8x at the 195x195 site. Re-evaluate for larger
+geometries (TACoS Lv=600) or future hardware; enable via
+set_pallas_attention(True) or --pallas_attention=on.
 """
 from __future__ import annotations
 
-import jax
-
-_PALLAS_ATTENTION: bool | None = None  # None = auto (TPU yes, others no)
+_PALLAS_ATTENTION: bool | None = None  # None = auto (currently: off)
 
 
 def set_pallas_attention(enabled: bool | None) -> None:
@@ -20,7 +22,4 @@ def set_pallas_attention(enabled: bool | None) -> None:
 def use_pallas_attention() -> bool:
     if _PALLAS_ATTENTION is not None:
         return _PALLAS_ATTENTION
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return False

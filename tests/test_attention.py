@@ -57,11 +57,20 @@ def test_core_different_vdim():
 
 
 def test_fused_pallas_matches_core():
+    """Kernel itself (bypassing the size-threshold dispatch) vs the XLA core."""
+    from mesm_tpu.ops.attention_pallas import _fused_attention_impl
+
     rng = np.random.default_rng(2)
-    for shape in [dict(), dict(E=64, Ev=32), dict(B=2, Lq=48, Lk=48, E=32, Ev=32)]:
+    for shape in [
+        dict(B=2, Lq=64, Lk=64, E=32, Ev=32),
+        dict(B=2, Lq=96, Lk=64, E=64, Ev=32),
+        dict(B=3, Lq=10, Lk=17),  # small shapes still correct in the kernel
+    ]:
         q, k, v, mask = _rand_qkv(rng, **shape)
-        ours = fused_attention(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+        ours = _fused_attention_impl(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask, jnp.float32) if mask is not None else None,
+            4, True,
         )
         ref = attention_core(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
@@ -69,11 +78,16 @@ def test_fused_pallas_matches_core():
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
-def test_fused_pallas_no_mask():
+def test_fused_dispatch_large_shapes():
+    """Above the threshold the dispatcher takes the kernel path and matches."""
     rng = np.random.default_rng(3)
-    q, k, v, _ = _rand_qkv(rng)
-    ours = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, None)
-    ref = attention_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, None)
+    q, k, v, mask = _rand_qkv(rng, B=2, Lq=80, Lk=80, E=32, Ev=32)
+    ours = fused_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+    )
+    ref = attention_core(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+    )
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
