@@ -140,7 +140,8 @@ class BaseDataset:
         self.vocab_size = vocab_size
         self.max_gather_size = max_gather_size
         self.store = FeatureStore(feat_files, normalize=normalize_video)
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._visit_counts: Dict[int, int] = {}
         self._rng_lock = __import__("threading").Lock()
 
         if tokenizer_type == "CLIP":
@@ -203,11 +204,15 @@ class BaseDataset:
     def max_group_size(self) -> int:
         return max(len(e["video_id"]) for e in self.merged_data)
 
-    def item_rng(self) -> np.random.Generator:
-        """Per-item generator (thread-safe: loader workers call __getitem__
-        concurrently; numpy Generators are not thread-safe to share)."""
+    def item_rng(self, index: int) -> np.random.Generator:
+        """Per-item generator, deterministic regardless of loader thread
+        scheduling: keyed on (seed, index, visit-count-of-index). Mirrors the
+        reference's reproducibility stance (train.py:32-39) without sharing a
+        Generator across threads."""
         with self._rng_lock:
-            return self._rng.spawn(1)[0]
+            visit = self._visit_counts.get(index, 0)
+            self._visit_counts[index] = visit + 1
+        return np.random.default_rng((self._seed, index, visit))
 
     def __getitem__(self, index: int) -> Dict:
         meta = self.merged_data[index]
@@ -224,7 +229,7 @@ class BaseDataset:
             start_idx = [int(i * L) for i in start_idx]
             end_idx = [int(i * L) for i in end_idx]
 
-        rng = self.item_rng()
+        rng = self.item_rng(index)
         clip_mask = np.zeros((num_clips, L), bool)
         pos_idx = np.zeros((num_clips, max(self.contra_samples, 1)), np.int64)
         neg_idx = np.zeros_like(pos_idx)

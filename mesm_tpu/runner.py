@@ -72,6 +72,13 @@ def _auto_row_capacity(dataset, batch_size: int) -> int:
     return max(cap, max(rows), 2)
 
 
+def _n_data_devices(opt) -> int:
+    n = getattr(opt, "n_devices", 0) or 0
+    if n <= 0:
+        n = len(jax.devices())
+    return n
+
+
 def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
     group_cap = opt.group_capacity or min(
         dataset.max_group_size(),
@@ -81,6 +88,10 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
     row_cap = opt.row_capacity or _auto_row_capacity(
         dataset, opt.eval_batch_size if for_eval else opt.batch_size
     )
+    # batch rows are sharded over the data mesh axis: round capacity up to a
+    # multiple of the device count so every shard gets equal rows
+    n_dev = _n_data_devices(opt)
+    row_cap = ((row_cap + n_dev - 1) // n_dev) * n_dev
     return BatchSpec(
         row_capacity=row_cap,
         max_video_l=opt.max_video_l,
