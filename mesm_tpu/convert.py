@@ -255,3 +255,60 @@ def load_torch_mesm_checkpoint(path: str, cfg: MESMConfig):
     params = torch_state_dict_to_params(state_dict, cfg)
     epoch = payload.get("epoch", -1) if isinstance(payload, dict) else -1
     return params, epoch
+
+
+def _main():
+    """CLI: convert checkpoints between reference-torch and mesm_tpu formats.
+
+    python -m mesm_tpu.convert to-native  ref.ckpt out.ckpt --opt_json opt.json
+    python -m mesm_tpu.convert to-torch   native.ckpt out.pt
+    """
+    import argparse
+    import types
+
+    from .runner import build_model_config
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    a = sub.add_parser("to-native")
+    a.add_argument("src")
+    a.add_argument("dst")
+    a.add_argument("--opt_json", required=True,
+                   help="the training run's opt.json (defines the architecture)")
+    b = sub.add_parser("to-torch")
+    b.add_argument("src")
+    b.add_argument("dst")
+    args = p.parse_args()
+
+    if args.cmd == "to-native":
+        import json
+
+        with open(args.opt_json) as f:
+            opt = types.SimpleNamespace(**json.load(f))
+        # opt.json is written before the TEF bump (config.py parse order),
+        # so apply it here like the runtime does
+        if getattr(opt, "use_tef", False):
+            opt.v_feat_dim += 2
+        cfg = build_model_config(opt)
+        params, epoch = load_torch_mesm_checkpoint(args.src, cfg)
+        save_checkpoint(args.dst, params, epoch=epoch, opt=vars(opt))
+        print(f"wrote {args.dst} (epoch {epoch})")
+    else:
+        import torch
+
+        payload = load_checkpoint(args.src)
+        # the checkpoint stores the runtime opt (v_feat_dim already bumped)
+        opt = types.SimpleNamespace(**payload["opt"])
+        cfg = build_model_config(opt)
+        sd = params_to_torch_state_dict(payload["model"], cfg)
+        torch.save(
+            {"model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+             "epoch": payload.get("epoch", -1)},
+            args.dst,
+        )
+        print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -42,6 +42,7 @@ def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=
         if "ss_video_feat_groups" in jb:
             jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
             jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
+            del jb["ss_group_slot"]
         preds, losses = eval_step(params, frozen, jb, rng)
         preds = jax.device_get(preds)
         if loss_meters is not None and losses:
