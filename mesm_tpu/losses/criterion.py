@@ -90,7 +90,10 @@ def _span_losses_multi(pred_spans, src_idx, tgt_spans, tgt_moments, tgt_mask, rm
     m = tgt_mask.astype(jnp.float32) * rm[:, None]
     n = jnp.maximum(m.sum(), 1.0)
     loss_span = (jnp.abs(src - tgt_spans).sum(-1) * m).sum() / (n * 2.0)
-    giou = pairwise_generalized_temporal_iou(span_cxw_to_xx(src), tgt_moments)
+    # padded targets are (0,0); replace with a benign span so a degenerate
+    # prediction can't produce NaN (0/0 enclosing) that poisons the masked sum
+    safe_moments = jnp.where(tgt_mask[..., None], tgt_moments, jnp.asarray([0.0, 1.0]))
+    giou = pairwise_generalized_temporal_iou(span_cxw_to_xx(src), safe_moments)
     loss_giou = ((1.0 - giou) * m).sum() / n
     return loss_span, loss_giou
 
