@@ -205,6 +205,17 @@ class BaseOptions:
                      time.strftime("%Y_%m_%d_%H_%M_%S")]
             opt.result_dir = os.path.join(opt.result_root, "-".join(parts))
             mkdirp(opt.result_dir)
+            # snapshot the model/criterion sources into the run dir, like the
+            # reference (utils/config.py:221-223) — aids run forensics
+            import shutil
+
+            pkg = os.path.dirname(os.path.abspath(__file__))
+            for rel in ("models/mesm.py", "models/detr.py", "losses/criterion.py"):
+                src = os.path.join(pkg, rel)
+                if os.path.exists(src):
+                    shutil.copyfile(
+                        src, os.path.join(opt.result_dir, os.path.basename(rel))
+                    )
 
         self.display_save(opt)
 

@@ -143,7 +143,8 @@ def inference(args=None):
     vocab = R.get_vocab(opt)
     _, _, val_loaders, _ = R.build_loaders(opt, vocab, splits="val")
     assert len(val_loaders) >= 1
-    split, loader = next(iter(val_loaders.items()))
+    # evaluate every eval split (charades-cg has two: novel_composition and
+    # novel_word; the reference's inference handles only single-split runs)
 
     model = R.build_model(opt, compute_dtype)
     encode_text, frozen = R.build_text_encoder(opt, vocab, compute_dtype)
@@ -162,16 +163,25 @@ def inference(args=None):
     from .parallel.step import make_eval_step
 
     eval_step = make_eval_step(model, None, encode_text, with_loss=False)
-    save_name = f"{opt.dataset_name}_test_submission.jsonl"
-    t0 = time.time()
-    metrics, metrics_nms, _, _ = eval_epoch(
-        params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
-    )
-    logger.info(f"eval wall time {time.time() - t0:.1f}s")
-    logger.info("metrics_no_nms {}".format(pprint.pformat(metrics["brief"], indent=4)))
-    if metrics_nms is not None:
-        logger.info("metrics_nms {}".format(pprint.pformat(metrics_nms["brief"], indent=4)))
-    return metrics, metrics_nms
+    results = {}
+    for split, loader in val_loaders.items():
+        save_name = f"{opt.dataset_name}_{split}_test_submission.jsonl"
+        t0 = time.time()
+        metrics, metrics_nms, _, _ = eval_epoch(
+            params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
+        )
+        logger.info(f"[{split}] eval wall time {time.time() - t0:.1f}s")
+        logger.info(
+            "[{}] metrics_no_nms {}".format(split, pprint.pformat(metrics["brief"], indent=4))
+        )
+        if metrics_nms is not None:
+            logger.info(
+                "[{}] metrics_nms {}".format(split, pprint.pformat(metrics_nms["brief"], indent=4))
+            )
+        results[split] = (metrics, metrics_nms)
+    if len(results) == 1:
+        return next(iter(results.values()))
+    return results
 
 
 def _is_torch_ckpt(path: str) -> bool:
