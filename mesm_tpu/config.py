@@ -148,6 +148,10 @@ class BaseOptions:
                        choices=["auto", "on", "off"])
         p.add_argument("--group_capacity", type=int, default=0,
                        help="SS-MESM group gather capacity; 0 = auto")
+        p.add_argument("--cache_text", type=str, default="on", choices=["on", "off"],
+                       help="precompute frozen-text encodings once per run "
+                            "(value-identical; removes the text tower from "
+                            "every step)")
         self.parser = p
 
     def load_config(self, opt):
@@ -176,7 +180,7 @@ class BaseOptions:
                     "sort_results", "max_ts_val", "ann_path", "is_inference",
                     "feat_files", "bpe_path", "text_model_path",
                     "trained_result_dir", "inference_id", "inference_result_dir",
-                    "n_devices", "compute_dtype", "pallas_attention"}
+                    "n_devices", "compute_dtype", "pallas_attention", "cache_text"}
             for key, value in saved.items():
                 if key not in keep:
                     setattr(opt, key, value)

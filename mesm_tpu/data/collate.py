@@ -115,6 +115,14 @@ def make_collate(spec: BatchSpec):
                 batch["norm_span"] = np.zeros((R, 2), np.float32)
             batch["pos_idx"] = np.zeros((R, spec.contra_pairs), np.int64)
             batch["neg_idx"] = np.zeros((R, spec.contra_pairs), np.int64)
+        has_cached_text = "cached_words_feat" in first
+        if has_cached_text:
+            cw = first["cached_words_feat"][0]
+            batch["cached_words_feat"] = np.zeros((R, *cw.shape), np.float32)
+            batch["cached_words_mask"] = np.zeros((R, cw.shape[0]), bool)
+            batch["cached_sentence_feat"] = np.zeros(
+                (R, first["cached_sentence_feat"][0].shape[-1]), np.float32
+            )
         batch["ss_sent_idx"] = np.zeros((R, G), np.int32)
         batch["ss_sent_mask"] = np.zeros((R, G), bool)
         batch["ss_own_pos"] = np.zeros((R,), np.int32)
@@ -141,6 +149,10 @@ def make_collate(spec: BatchSpec):
             batch["group_id"][r] = g
             batch["row_mask"][r] = True
             batch["duration"][r] = meta["duration"][r]
+            if has_cached_text:
+                batch["cached_words_feat"][r] = e["cached_words_feat"][i]
+                batch["cached_words_mask"][r] = e["cached_words_mask"][i]
+                batch["cached_sentence_feat"][r] = e["cached_sentence_feat"][i]
             if spec.with_targets:
                 if spec.multi_clip:
                     nm = e["norm_moment"][i][: spec.max_windows]

@@ -248,7 +248,7 @@ class BaseDataset:
                 replace = len(pool) < self.contra_samples
                 neg_idx[i] = rng.choice(pool, self.contra_samples, replace=replace)
 
-        return {
+        out = {
             "num_clips": num_clips,
             "video_feat": feat,
             "video_id": meta["video_id"][0],
@@ -270,6 +270,16 @@ class BaseDataset:
             "neg_idx": neg_idx if self.contra_samples > 0 else None,
             "qid": meta["qid"],
         }
+        self._attach_cached_text(out, meta)
+        return out
+
+    @staticmethod
+    def _attach_cached_text(item: Dict, meta: Dict):
+        """Pass through precomputed frozen-text encodings when present
+        (runner.cache_text_features)."""
+        for k in ("cached_words_feat", "cached_words_mask", "cached_sentence_feat"):
+            if k in meta:
+                item[k] = meta[k]
 
     def _tokenize_one(self, sentence: str):
         return self.tokenizer.tokenize(sentence, max_valid_length=self.max_words_l)
@@ -544,6 +554,7 @@ class QVHighlightsDataset(BaseDataset):
                 saliency_label=saliency,
                 clip_mask=clip_mask,
             )
+        self._attach_cached_text(item, meta)
         return item
 
 

@@ -162,6 +162,13 @@ def inference(args=None):
 
     from .parallel.step import make_eval_step
 
+    if getattr(opt, "cache_text", "on") == "on" and not (
+        opt.tokenizer_type == "GloVeNLTK" and opt.load_vocab_pkl
+    ):
+        logger.info("Precomputing frozen-text encodings (one-time)...")
+        for vl in val_loaders.values():
+            R.cache_text_features(vl.dataset, encode_text, frozen)
+
     eval_step = make_eval_step(model, None, encode_text, with_loss=False)
     results = {}
     for split, loader in val_loaders.items():

@@ -231,14 +231,31 @@ def load_glove_vectors(path: str) -> Dict[str, np.ndarray]:
 def build_text_encoder(opt, vocab=None, compute_dtype=jnp.float32):
     """Returns (encode_text_fn, frozen_params). encode_text_fn(frozen, batch)
     -> (words_feat, words_mask, sentence_feat), each truncated/derived per the
-    reference's three text paths (model/model.py:103-152)."""
+    reference's three text paths (model/model.py:103-152).
+
+    All paths first honor cached text features in the batch (see
+    cache_text_features): the encoders are frozen, so per-query encodings are
+    run-constants — the reference re-encodes every query every epoch
+    (eval.py:63 -> model.py:155-163)."""
     normalize_txt = opt.normalize_txt
     max_words_l = opt.max_words_l
+
+    def cached(batch):
+        if "cached_words_feat" in batch:
+            return (
+                batch["cached_words_feat"],
+                batch["cached_words_mask"],
+                batch["cached_sentence_feat"],
+            )
+        return None
 
     if opt.tokenizer_type == "CLIP":
         clip_model, clip_params = build_clip_text_encoder(opt.text_model_path, compute_dtype)
 
         def encode(frozen, batch):
+            hit = cached(batch)
+            if hit is not None:
+                return hit
             ids = batch["words_id"]
             mask = ids != 0
             wf, sf, _, m = clip_encode_text(
@@ -257,6 +274,9 @@ def build_text_encoder(opt, vocab=None, compute_dtype=jnp.float32):
         frozen = {"embedding": jnp.asarray(table)}
 
         def encode(frozen_p, batch):
+            hit = cached(batch)
+            if hit is not None:
+                return hit
             ids = batch["words_id"]
             mask = ids != 0
             wf, sf = glove_encode_text(glove, frozen_p, ids, mask, normalize_txt)
@@ -266,10 +286,59 @@ def build_text_encoder(opt, vocab=None, compute_dtype=jnp.float32):
 
     # GloVeNLTK + load_vocab_pkl: precomputed 300-d features as words_id
     def encode(frozen_p, batch):
+        hit = cached(batch)
+        if hit is not None:
+            return hit
         wf, mask, sf = post_process_precomputed_text(batch["words_id"], normalize_txt)
         return wf, mask, sf
 
     return encode, {}
+
+
+def cache_text_features(dataset, encode_text, frozen, chunk: int = 256):
+    """Precompute frozen-text encodings for every sentence in the dataset and
+    attach them to the merged entries (consumed by collate + the encode fns).
+
+    The text encoders are frozen and tokenization is deterministic, so this is
+    value-identical to per-step encoding; it removes the text tower from every
+    train/eval step (the reference re-encodes all queries each epoch)."""
+    entries = dataset.merged_data
+    flat_ids = []
+    owners = []  # (entry_idx, sent_idx)
+    for ei, e in enumerate(entries):
+        for si, wid in enumerate(e["words_id"]):
+            flat_ids.append(np.asarray(wid[0] if wid.ndim > 1 else wid))
+            owners.append((ei, si))
+    if not flat_ids:
+        return dataset
+    ids = np.stack(flat_ids)
+    enc = jax.jit(lambda i: encode_text(frozen, {"words_id": i}))
+    feats, masks, sents = [], [], []
+    for start in range(0, len(ids), chunk):
+        part = ids[start : start + chunk]
+        pad = 0
+        if len(part) < min(chunk, len(ids)) and len(ids) > chunk:
+            pad = chunk - len(part)  # keep one compiled shape
+            part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+        wf, m, sf = enc(jnp.asarray(part))
+        wf, m, sf = np.asarray(wf), np.asarray(m), np.asarray(sf)
+        if pad:
+            wf, m, sf = wf[:-pad], m[:-pad], sf[:-pad]
+        feats.append(wf)
+        masks.append(m)
+        sents.append(sf)
+    wf = np.concatenate(feats)
+    m = np.concatenate(masks)
+    sf = np.concatenate(sents)
+    for row, (ei, si) in enumerate(owners):
+        e = entries[ei]
+        e.setdefault("cached_words_feat", [None] * len(e["words_id"]))
+        e.setdefault("cached_words_mask", [None] * len(e["words_id"]))
+        e.setdefault("cached_sentence_feat", [None] * len(e["words_id"]))
+        e["cached_words_feat"][si] = wf[row]
+        e["cached_words_mask"][si] = m[row]
+        e["cached_sentence_feat"][si] = sf[row]
+    return dataset
 
 
 # ---------------------------------------------------------------------------

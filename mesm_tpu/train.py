@@ -139,6 +139,14 @@ def train(args=None):
     encode_text, frozen = R.build_text_encoder(opt, vocab, compute_dtype)
     tx = R.build_optimizer(opt)
 
+    if getattr(opt, "cache_text", "on") == "on" and not (
+        opt.tokenizer_type == "GloVeNLTK" and opt.load_vocab_pkl
+    ):
+        logger.info("Precomputing frozen-text encodings (one-time)...")
+        R.cache_text_features(train_loader.dataset, encode_text, frozen)
+        for vl in val_loaders.values():
+            R.cache_text_features(vl.dataset, encode_text, frozen)
+
     mesh = make_mesh(opt.n_devices or None)
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
