@@ -154,7 +154,7 @@ def convert_clip_torch_weights(state_dict) -> Tuple[dict, dict]:
         vocab_size=state_dict["token_embedding.weight"].shape[0],
         width=state_dict["ln_final.weight"].shape[0],
     )
-    arch["heads"] = arch["width"] // 64
+    arch["heads"] = max(arch["width"] // 64, 1)  # reference infers width//64
     arch["layers"] = len(
         {k.split(".")[2] for k in state_dict if k.startswith("transformer.resblocks")}
     )
