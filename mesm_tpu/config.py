@@ -239,6 +239,8 @@ class TestOptions(BaseOptions):
     """Evaluation options: reloads the training run's opt.json
     (reference utils/config.py:249-259)."""
 
+    __test__ = False  # not a pytest class
+
     def initialize(self):
         super().initialize()
         self.parser.add_argument("--inference_id", type=str, default="")
