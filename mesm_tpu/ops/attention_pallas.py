@@ -56,8 +56,31 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
+def _mha_kernel_allheads(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, heads: int):
+    """v2 layout: one grid step per SAMPLE computes all heads (8x fewer grid
+    steps than the per-(sample, head) kernel; heads unrolled statically)."""
+    m = mask_ref[0]  # (1, Lk)
+    for h in range(heads):
+        q = q_ref[0, h]  # (Lq, hd)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            (q * scale).astype(jnp.float32),
+            k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(m > 0, logits, NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "variant"))
+def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool, variant: str = "per_head"):
     B, Lq, E = q.shape
     Lk = k.shape[1]
     Ev = v.shape[-1]
@@ -72,26 +95,45 @@ def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool):
     # to the array dims; a (B, 1, Lk) mask with (1, 1, Lk) blocks satisfies it.
     mask3 = mask.reshape(B, 1, Lk)
 
-    out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale),
-        grid=(B, H),
-        in_specs=[
-            pl.BlockSpec((1, 1, Lq, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, Lq, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq, hdv), v.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Lq * Lk * (hd + hdv),
-            bytes_accessed=4 * B * H * (Lq * hd + Lk * hd + Lk * hdv + Lq * hdv),
-            transcendentals=B * H * Lq * Lk,
-        ),
-        interpret=interpret,
-    )(qh, kh, vh, mask3)
+    cost = pl.CostEstimate(
+        flops=2 * B * H * Lq * Lk * (hd + hdv),
+        bytes_accessed=4 * B * H * (Lq * hd + Lk * hd + Lk * hdv + Lq * hdv),
+        transcendentals=B * H * Lq * Lk,
+    )
+    if variant == "all_heads":
+        out = pl.pallas_call(
+            functools.partial(_mha_kernel_allheads, scale=scale, heads=H),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Lq, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, Lk, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, Lk, hdv), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, H, Lq, hdv), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Lq, hdv), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qh, kh, vh, mask3)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_mha_kernel, scale=scale),
+            grid=(B, H),
+            in_specs=[
+                pl.BlockSpec((1, 1, Lq, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, Lq, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Lq, hdv), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qh, kh, vh, mask3)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev)
 
 
