@@ -136,8 +136,7 @@ def inference(args=None):
     opt = TestOptions().parse(args)
     from . import kernels
 
-    if opt.pallas_attention != "auto":
-        kernels.set_pallas_attention(opt.pallas_attention == "on")
+    kernels.set_pallas_attention(opt.pallas_attention)
 
     compute_dtype = R.compute_dtype_from_opt(opt)
     vocab = R.get_vocab(opt)

@@ -70,15 +70,16 @@ def attention_core(
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev).astype(v.dtype)
 
 
-def dispatch_attention_core(*args, **kwargs):
-    """Route to the Pallas fused kernel when enabled, else the XLA core."""
+def dispatch_attention_core(q, k, v, **kwargs):
+    """Route to the Pallas fused kernel where it is measured to win
+    (see mesm_tpu/kernels.py for the policy), else the XLA core."""
     from mesm_tpu import kernels
 
-    if kernels.use_pallas_attention():
+    if kernels.use_pallas_attention(q.shape[0], q.shape[1], k.shape[1]):
         from mesm_tpu.ops.attention_pallas import fused_attention
 
-        return fused_attention(*args, **kwargs)
-    return attention_core(*args, **kwargs)
+        return fused_attention(q, k, v, **kwargs)
+    return attention_core(q, k, v, **kwargs)
 
 
 class ProjAttention(nn.Module):

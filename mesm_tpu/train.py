@@ -128,8 +128,7 @@ def _weight_map(opt):
 def train(args=None):
     opt = BaseOptions().parse(args)
     set_seed(opt.seed)
-    if opt.pallas_attention != "auto":
-        kernels.set_pallas_attention(opt.pallas_attention == "on")
+    kernels.set_pallas_attention(opt.pallas_attention)
 
     compute_dtype = R.compute_dtype_from_opt(opt)
     vocab = R.get_vocab(opt)
