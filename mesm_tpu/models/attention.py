@@ -105,6 +105,7 @@ class ProjAttention(nn.Module):
         k: jnp.ndarray,
         v: jnp.ndarray,
         key_valid_mask: Optional[jnp.ndarray] = None,
+        logit_bias: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -128,6 +129,7 @@ class ProjAttention(nn.Module):
             vp,
             num_heads=self.num_heads,
             key_valid_mask=key_valid_mask,
+            logit_bias=logit_bias,
             dropout_rate=self.dropout,
             deterministic=deterministic,
             dropout_rng=dropout_rng,

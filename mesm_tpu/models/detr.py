@@ -319,8 +319,12 @@ class Transformer(nn.Module):
         B, L, d = src.shape
         src = jnp.concatenate([global_token, src], axis=1)
         pos_embed = jnp.concatenate([global_token_pos, pos_embed], axis=1)
+        # Reference quirk reproduced: the global token's key-padding entry is
+        # set True=PAD (transformer.py:185-186), so it acts as a query (its
+        # output becomes memory_global) but is NEVER attendable as a key —
+        # neither by video positions nor by itself.
         full_mask = jnp.concatenate(
-            [jnp.ones((B, 1), bool), valid_mask.astype(bool)], axis=1
+            [jnp.zeros((B, 1), bool), valid_mask.astype(bool)], axis=1
         )
 
         memory = TransformerEncoder(

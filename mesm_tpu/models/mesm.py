@@ -37,7 +37,7 @@ from ..ops.masking import l2_normalize, lengths_to_mask
 from .detr import Transformer, inverse_sigmoid
 from .layers import MLP, Dense, InputProj, LinearBlock
 from .position import SinePositionEmbedding, TrainablePositionEmbedding
-from .t2v import T2VEncoder
+from .t2v import T2VEncoder, _scrambled_pair_bias
 
 
 @dataclass(frozen=True)
@@ -127,6 +127,7 @@ class SegSenRecon(nn.Module):
             batched_vid_mask,
             None,
             None,
+            batched_sent_mask,
             deterministic=deterministic,
         )  # (B, G, d)
         recon_own = jnp.take_along_axis(recon, own_pos[:, None, None], axis=1)[:, 0]
@@ -354,25 +355,39 @@ class MESM(nn.Module):
             video2 = stack(projed_video_feat, projed_video_feat)
             vid_position2 = stack(vid_position, vid_position)
             video_mask2 = stack(video_mask, video_mask)
+            # the reference's scrambled pair-mask quirk (see t2v.py) depends on
+            # the row count of each separate call (B, not 2B) — precompute the
+            # bias per half so the stacked traversal stays bit-identical
+            H = c.nheads
             if c.rec_fw:
+                enhance_bias2 = stack(
+                    _scrambled_pair_bias(video_mask, words_mask, H),
+                    _scrambled_pair_bias(video_mask, neg_words_mask, H),
+                )
                 enhanced2 = self.enhance_encoder(
                     stack(projed_words_feat, neg_words_feat),
                     video2,
                     stack(words_mask, neg_words_mask),
                     stack(txt_position, neg_txt_position),
                     vid_position2,
+                    logit_bias=enhance_bias2,
                     deterministic=det,
                 )
             else:
                 enhanced2 = video2
             enhanced_video_feat = enhanced2[:B]
 
+            t2v_bias2 = stack(
+                _scrambled_pair_bias(video_mask, expanded_words_mask, H),
+                _scrambled_pair_bias(video_mask, neg_expanded_words_mask, H),
+            )
             encoded2 = self.t2v_encoder(
                 stack(expanded_words_feat, neg_expanded_words_feat),
                 enhanced2,
                 stack(expanded_words_mask, neg_expanded_words_mask),
                 stack(expanded_txt_position, neg_expanded_txt_position),
                 vid_position2,
+                logit_bias=t2v_bias2,
                 deterministic=det,
             )
             n_rows, t_mask, t_pos = 2 * B, video_mask2, vid_position2
@@ -385,6 +400,7 @@ class MESM(nn.Module):
                     words_mask,
                     txt_position,
                     vid_position,
+                    video_mask,
                     deterministic=det,
                 )
             else:
@@ -395,6 +411,7 @@ class MESM(nn.Module):
                 expanded_words_mask,
                 expanded_txt_position,
                 vid_position,
+                video_mask,
                 deterministic=det,
             )
             n_rows, t_mask, t_pos = B, video_mask, vid_position
@@ -488,6 +505,7 @@ class MESM(nn.Module):
                 merged_clip_mask,
                 merged_clip_position,
                 txt_position,
+                words_mask,
                 is_mlm=True,
                 deterministic=det,
             )

@@ -11,10 +11,17 @@ Layer dataflow (post-norm):
   y = norm1(x); y = ffn(y)
   out = norm2(x + dropout(y))
 
-Masking note: the reference also passes an outer-product attn_mask
-qpad*kpad^T alongside the key-padding mask (transformer.py:528-533). Since
-(qpad & kpad) | kpad == kpad, that pair mask is subsumed by key padding —
-the net masking is key-padding only, which is what we apply.
+Masking quirk reproduced exactly (it changes real outputs): the reference
+builds an outer-product pair mask qpad*kpad^T and tiles it with
+`.repeat(self.nhead, 1, 1)` (transformer.py:528-533) — i.e. HEAD-major order
+[b0..bB-1, b0..bB-1, ...] — but torch's multi_head_attention_forward consumes
+a 3-D attn_mask in BATCH-major order (row i = batch i//nhead, head i%nhead).
+The net effect: head h of sample b applies the pair mask of sample
+(b*nhead + h) % B, so one sample's padding pattern masks (q, k) pairs that
+are perfectly valid in another sample. Were the tiling correct the pair mask
+would be subsumed by key padding ((qpad & kpad) | kpad == kpad) — because of
+the scrambling it is not, and bit-parity with released checkpoints requires
+reproducing it (see `_scrambled_pair_bias`).
 
 The TwoMLP variant duplicates the FFN+norm pair and routes by the static
 `is_mlm` flag so the reversed (MLM) direction trains its own FFN
@@ -27,8 +34,25 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import ProjAttention
+from .attention import NEG_INF, ProjAttention
 from .layers import FFN, torch_linear_kernel_init
+
+
+def _scrambled_pair_bias(
+    vid_valid_mask: jnp.ndarray,  # (B, Lq) True = real query position
+    txt_valid_mask: jnp.ndarray,  # (B, Lk) True = real key position
+    num_heads: int,
+) -> jnp.ndarray:
+    """Additive logit bias reproducing the reference's mis-tiled pair mask
+    (transformer.py:530 + torch batch-major attn_mask consumption): head h of
+    sample b is masked by pair mask of sample (b*num_heads + h) % B."""
+    qpad = ~vid_valid_mask.astype(bool)
+    kpad = ~txt_valid_mask.astype(bool)
+    pm = qpad[:, :, None] & kpad[:, None, :]  # (B, Lq, Lk)
+    B = pm.shape[0]
+    src = (jnp.arange(B)[:, None] * num_heads + jnp.arange(num_heads)[None, :]) % B
+    scrambled = pm[src]  # (B, H, Lq, Lk)
+    return jnp.where(scrambled, NEG_INF, 0.0)
 
 
 class T2VLayer(nn.Module):
@@ -52,6 +76,8 @@ class T2VLayer(nn.Module):
         txt_valid_mask: Optional[jnp.ndarray],  # (B, Lt)
         pos_txt: Optional[jnp.ndarray],
         pos_vid: Optional[jnp.ndarray],
+        vid_valid_mask: Optional[jnp.ndarray] = None,  # (B, Lv) query-side mask
+        logit_bias: Optional[jnp.ndarray] = None,  # precomputed override
         *,
         is_mlm: bool = False,
         deterministic: bool = True,
@@ -61,13 +87,26 @@ class T2VLayer(nn.Module):
         )
         q = src_vid if pos_vid is None else src_vid + pos_vid
         k = src_txt if pos_txt is None else src_txt + pos_txt
+        # the scramble depends on the row count the reference saw (B, not 2B),
+        # so stacked pos|neg callers precompute per-half biases and pass them in
+        if logit_bias is None and vid_valid_mask is not None and txt_valid_mask is not None:
+            logit_bias = _scrambled_pair_bias(
+                vid_valid_mask, txt_valid_mask, self.num_heads
+            )
         attn_out = ProjAttention(
             self.num_heads,
             dropout=self.dropout,
             out_kernel_init=kinit,
             dtype=self.dtype,
             name="cross_attn",
-        )(q, k, src_txt, key_valid_mask=txt_valid_mask, deterministic=deterministic)
+        )(
+            q,
+            k,
+            src_txt,
+            key_valid_mask=txt_valid_mask,
+            logit_bias=logit_bias,
+            deterministic=deterministic,
+        )
         x = src_vid + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
 
         suffix = "_mlm" if (self.two_mlp and is_mlm) else ""
@@ -108,6 +147,8 @@ class T2VEncoder(nn.Module):
         txt_valid_mask: Optional[jnp.ndarray],
         pos_txt: Optional[jnp.ndarray] = None,
         pos_vid: Optional[jnp.ndarray] = None,
+        vid_valid_mask: Optional[jnp.ndarray] = None,
+        logit_bias: Optional[jnp.ndarray] = None,
         *,
         is_mlm: bool = False,
         deterministic: bool = True,
@@ -130,6 +171,8 @@ class T2VEncoder(nn.Module):
                 txt_valid_mask,
                 pos_txt,
                 pos_vid,
+                vid_valid_mask,
+                logit_bias,
                 is_mlm=is_mlm,
                 deterministic=deterministic,
             )

@@ -23,6 +23,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (excluded from the smoke subset)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
