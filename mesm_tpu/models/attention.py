@@ -34,6 +34,7 @@ def attention_core(
     num_heads: int,
     key_valid_mask: Optional[jnp.ndarray] = None,  # (B, Lk) True = attendable
     logit_bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to (B,h,Lq,Lk)
+    pair_factors: Optional[tuple] = None,  # ((B,h,Lq), (B,h,Lk)) bool: mask q&k pairs
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
@@ -60,6 +61,13 @@ def attention_core(
     )
     if logit_bias is not None:
         logits = logits + logit_bias
+    if pair_factors is not None:
+        # outer-product pair masking (the reference's scrambled T2V pair mask,
+        # see models/t2v.py): pair (q, k) of head (b, h) is disallowed when
+        # BOTH factors flag it. Kept factored so no (B,h,Lq,Lk) tensor is
+        # materialized — XLA fuses the broadcast into the logits elementwise.
+        qf, kf = pair_factors
+        logits = jnp.where(qf[..., :, None] & kf[..., None, :], NEG_INF, logits)
     if key_valid_mask is not None:
         logits = jnp.where(key_valid_mask[:, None, None, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -106,6 +114,7 @@ class ProjAttention(nn.Module):
         v: jnp.ndarray,
         key_valid_mask: Optional[jnp.ndarray] = None,
         logit_bias: Optional[jnp.ndarray] = None,
+        pair_factors: Optional[tuple] = None,
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -130,6 +139,7 @@ class ProjAttention(nn.Module):
             num_heads=self.num_heads,
             key_valid_mask=key_valid_mask,
             logit_bias=logit_bias,
+            pair_factors=pair_factors,
             dropout_rate=self.dropout,
             deterministic=deterministic,
             dropout_rng=dropout_rng,

@@ -37,7 +37,7 @@ from ..ops.masking import l2_normalize, lengths_to_mask
 from .detr import Transformer, inverse_sigmoid
 from .layers import MLP, Dense, InputProj, LinearBlock
 from .position import SinePositionEmbedding, TrainablePositionEmbedding
-from .t2v import T2VEncoder, _scrambled_pair_bias
+from .t2v import T2VEncoder, scrambled_pair_factors
 
 
 @dataclass(frozen=True)
@@ -357,12 +357,16 @@ class MESM(nn.Module):
             video_mask2 = stack(video_mask, video_mask)
             # the reference's scrambled pair-mask quirk (see t2v.py) depends on
             # the row count of each separate call (B, not 2B) — precompute the
-            # bias per half so the stacked traversal stays bit-identical
+            # factors per half so the stacked traversal stays bit-identical
             H = c.nheads
+
+            def stack_factors(fa, fb):
+                return (stack(fa[0], fb[0]), stack(fa[1], fb[1]))
+
             if c.rec_fw:
-                enhance_bias2 = stack(
-                    _scrambled_pair_bias(video_mask, words_mask, H),
-                    _scrambled_pair_bias(video_mask, neg_words_mask, H),
+                enhance_pf2 = stack_factors(
+                    scrambled_pair_factors(video_mask, words_mask, H),
+                    scrambled_pair_factors(video_mask, neg_words_mask, H),
                 )
                 enhanced2 = self.enhance_encoder(
                     stack(projed_words_feat, neg_words_feat),
@@ -370,16 +374,16 @@ class MESM(nn.Module):
                     stack(words_mask, neg_words_mask),
                     stack(txt_position, neg_txt_position),
                     vid_position2,
-                    logit_bias=enhance_bias2,
+                    pair_factors=enhance_pf2,
                     deterministic=det,
                 )
             else:
                 enhanced2 = video2
             enhanced_video_feat = enhanced2[:B]
 
-            t2v_bias2 = stack(
-                _scrambled_pair_bias(video_mask, expanded_words_mask, H),
-                _scrambled_pair_bias(video_mask, neg_expanded_words_mask, H),
+            t2v_pf2 = stack_factors(
+                scrambled_pair_factors(video_mask, expanded_words_mask, H),
+                scrambled_pair_factors(video_mask, neg_expanded_words_mask, H),
             )
             encoded2 = self.t2v_encoder(
                 stack(expanded_words_feat, neg_expanded_words_feat),
@@ -387,7 +391,7 @@ class MESM(nn.Module):
                 stack(expanded_words_mask, neg_expanded_words_mask),
                 stack(expanded_txt_position, neg_expanded_txt_position),
                 vid_position2,
-                logit_bias=t2v_bias2,
+                pair_factors=t2v_pf2,
                 deterministic=det,
             )
             n_rows, t_mask, t_pos = 2 * B, video_mask2, vid_position2

@@ -34,25 +34,26 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import NEG_INF, ProjAttention
+from .attention import ProjAttention
 from .layers import FFN, torch_linear_kernel_init
 
 
-def _scrambled_pair_bias(
+def scrambled_pair_factors(
     vid_valid_mask: jnp.ndarray,  # (B, Lq) True = real query position
     txt_valid_mask: jnp.ndarray,  # (B, Lk) True = real key position
     num_heads: int,
-) -> jnp.ndarray:
-    """Additive logit bias reproducing the reference's mis-tiled pair mask
+) -> tuple:
+    """Factored form of the reference's mis-tiled pair mask
     (transformer.py:530 + torch batch-major attn_mask consumption): head h of
-    sample b is masked by pair mask of sample (b*num_heads + h) % B."""
+    sample b is masked by the pair mask of sample s = (b*num_heads + h) % B,
+    i.e. pair (q, k) is disallowed iff qpad[s, q] & kpad[s, k]. Returns the
+    two (B, H, L) factors; attention_core combines them as an outer product
+    fused into the logits, so the (B, H, Lq, Lk) mask is never materialized."""
     qpad = ~vid_valid_mask.astype(bool)
     kpad = ~txt_valid_mask.astype(bool)
-    pm = qpad[:, :, None] & kpad[:, None, :]  # (B, Lq, Lk)
-    B = pm.shape[0]
+    B = qpad.shape[0]
     src = (jnp.arange(B)[:, None] * num_heads + jnp.arange(num_heads)[None, :]) % B
-    scrambled = pm[src]  # (B, H, Lq, Lk)
-    return jnp.where(scrambled, NEG_INF, 0.0)
+    return qpad[src], kpad[src]  # (B, H, Lq), (B, H, Lk)
 
 
 class T2VLayer(nn.Module):
@@ -77,7 +78,7 @@ class T2VLayer(nn.Module):
         pos_txt: Optional[jnp.ndarray],
         pos_vid: Optional[jnp.ndarray],
         vid_valid_mask: Optional[jnp.ndarray] = None,  # (B, Lv) query-side mask
-        logit_bias: Optional[jnp.ndarray] = None,  # precomputed override
+        pair_factors: Optional[tuple] = None,  # precomputed override
         *,
         is_mlm: bool = False,
         deterministic: bool = True,
@@ -88,9 +89,9 @@ class T2VLayer(nn.Module):
         q = src_vid if pos_vid is None else src_vid + pos_vid
         k = src_txt if pos_txt is None else src_txt + pos_txt
         # the scramble depends on the row count the reference saw (B, not 2B),
-        # so stacked pos|neg callers precompute per-half biases and pass them in
-        if logit_bias is None and vid_valid_mask is not None and txt_valid_mask is not None:
-            logit_bias = _scrambled_pair_bias(
+        # so stacked pos|neg callers precompute per-half factors and pass them in
+        if pair_factors is None and vid_valid_mask is not None and txt_valid_mask is not None:
+            pair_factors = scrambled_pair_factors(
                 vid_valid_mask, txt_valid_mask, self.num_heads
             )
         attn_out = ProjAttention(
@@ -104,7 +105,7 @@ class T2VLayer(nn.Module):
             k,
             src_txt,
             key_valid_mask=txt_valid_mask,
-            logit_bias=logit_bias,
+            pair_factors=pair_factors,
             deterministic=deterministic,
         )
         x = src_vid + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
@@ -148,7 +149,7 @@ class T2VEncoder(nn.Module):
         pos_txt: Optional[jnp.ndarray] = None,
         pos_vid: Optional[jnp.ndarray] = None,
         vid_valid_mask: Optional[jnp.ndarray] = None,
-        logit_bias: Optional[jnp.ndarray] = None,
+        pair_factors: Optional[tuple] = None,
         *,
         is_mlm: bool = False,
         deterministic: bool = True,
@@ -172,7 +173,7 @@ class T2VEncoder(nn.Module):
                 pos_txt,
                 pos_vid,
                 vid_valid_mask,
-                logit_bias,
+                pair_factors,
                 is_mlm=is_mlm,
                 deterministic=deterministic,
             )

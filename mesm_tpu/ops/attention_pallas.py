@@ -144,14 +144,21 @@ def fused_attention(
     num_heads: int,
     key_valid_mask: Optional[jnp.ndarray] = None,
     logit_bias: Optional[jnp.ndarray] = None,
+    pair_factors: Optional[tuple] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng=None,
 ) -> jnp.ndarray:
     """Drop-in for models/attention.attention_core. Falls back to the XLA core
-    when attention dropout is active or an additive bias is supplied."""
+    when attention dropout is active or an additive bias / pair mask is
+    supplied (TODO perf: fold the factored pair mask into the kernel)."""
     small = q.shape[1] < MIN_FUSED_LQ or k.shape[1] < MIN_FUSED_LK
-    if (dropout_rate > 0.0 and not deterministic) or logit_bias is not None or small:
+    if (
+        (dropout_rate > 0.0 and not deterministic)
+        or logit_bias is not None
+        or pair_factors is not None
+        or small
+    ):
         from ..models.attention import attention_core
 
         return attention_core(
@@ -159,6 +166,7 @@ def fused_attention(
             num_heads=num_heads,
             key_valid_mask=key_valid_mask,
             logit_bias=logit_bias,
+            pair_factors=pair_factors,
             dropout_rate=dropout_rate,
             deterministic=deterministic,
             dropout_rng=dropout_rng,
