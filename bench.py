@@ -1,6 +1,6 @@
 """Benchmark: MESM eval-step throughput on one TPU chip (charades C+SF geometry).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default mode prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 - metric: steady-state eval throughput in rows(=query-clips)/sec of the
   optimized path (negative pass elided at inference; XLA attention — the
@@ -11,69 +11,65 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   The reference's own GPU numbers are not measurable in this environment
   (BASELINE.md: no published numbers); same-chip faithful-port is the honest
   baseline.
+
+`python bench.py --extra` additionally measures (and appends JSON lines for):
+  - train_throughput_rows_per_sec: the fully fused train step (forward incl.
+    stacked negative pass + on-device Hungarian + all losses + AdamW) at
+    batch 32, charades geometry.
+  - tacos_eval_throughput_rows_per_sec: eval step at TACoS geometry
+    (Lv=600, C3D features), where the Pallas kernel auto-enables.
+Results are also written to BENCH_EXTRA.json.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    # NOTE: do not enable jax_compilation_cache_dir here — executable
-    # serialization is not supported over this environment's remote-compile
-    # relay and stalls the compile (observed: 8 min -> 25+ min).
+
+def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024):
+    import jax
     import jax.numpy as jnp
 
-    from mesm_tpu import kernels
     from mesm_tpu.models import MESM
     from mesm_tpu.models.mesm import MESMConfig
     from mesm_tpu.parallel.step import sample_out_of_group
 
-    # charades C+SF geometry (config/charades/C+SF_C.json). The reference
-    # evaluates at batch 30 on one GPU; on TPU the eval step is latency-bound
-    # at that size, so the TPU-native eval batch is 128 rows (identical math,
-    # 4x fewer dispatches per row).
-    B, Lv, Dv, Lw, Dt = 128, 194, 2818, 16, 512
     cfg = MESMConfig(
-        hidden_dim=256, v_feat_dim=Dv, t_feat_dim=Dt, nheads=8,
-        dim_feedforward=1024, num_queries=10, max_words_l=Lw, max_video_l=Lv,
+        hidden_dim=hidden, v_feat_dim=Dv, t_feat_dim=Dt, nheads=heads,
+        dim_feedforward=ffn, num_queries=10, max_words_l=Lw, max_video_l=Lv,
         num_classes=1114, rec_fw=True, rec_ss=True, aux_loss=True,
     )
     model = MESM(cfg)
 
     rng = np.random.default_rng(0)
-    import sys, os
+    import os
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from synth import make_batch
 
     batch = make_batch(rng, B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=3, n_groups=8)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     neg = sample_out_of_group(jax.random.PRNGKey(0), jb["group_id"])
+    return cfg, model, jb, neg
 
-    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
-            jb["sentence_feat"], neg)
-    kw = dict(
-        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
-        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
-        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
-    )
-    # shape-only init: throughput doesn't depend on parameter values, and a
-    # full model.init would cost a multi-minute compile of its own.
-    import sys as _sys
 
-    def log(msg):
-        print(f"[bench] {msg}", file=_sys.stderr, flush=True)
+def shape_only_params(model, args, kw, is_training=False):
+    """Throughput doesn't depend on parameter values, and a full model.init
+    would cost a multi-minute compile of its own."""
+    import jax
+    import jax.numpy as jnp
 
-    log("shape-only param init")
     shapes = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
              "mask_words": jax.random.PRNGKey(2)},
-            *args, is_training=False, deterministic=True, **kw,
+            *args, is_training=is_training, deterministic=True, **kw,
         )
     )
     rng_np = np.random.default_rng(0)
@@ -83,7 +79,38 @@ def main():
         ),
         shapes["params"],
     )
-    params = jax.device_put(params, jax.devices()[0])
+    return jax.device_put(params, jax.devices()[0])
+
+
+def measure(fn, first_args, B, iters=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        r = fn(*first_args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*first_args)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return B * iters / dt
+
+
+def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False):
+    import jax
+
+    from mesm_tpu import kernels
+
+    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
+            jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    log(f"[{label}] shape-only param init")
+    params = shape_only_params(model, args, kw)
 
     def make_fn(compute_neg: bool):
         @jax.jit
@@ -95,47 +122,57 @@ def main():
             return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
         return fn
 
-    def measure(fn, iters=20, warmup=3):
-        for _ in range(warmup):
-            r = fn(params, *args)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(params, *args)
-        jax.block_until_ready(r)
-        dt = time.perf_counter() - t0
-        return B * iters / dt
-
-    # optimized path: XLA attention (see kernels.py for why the Pallas kernel
-    # is off by default at this geometry) + inference-only forward (no neg pass)
-    log("compiling + measuring optimized path (no neg pass)")
-    fast = measure(make_fn(compute_neg=False))
-    log(f"optimized: {fast:.1f} rows/s")
+    log(f"[{label}] compiling + measuring optimized path (no neg pass)")
+    # AOT-compile so the same executable provides the timing AND the XLA FLOPs
+    # estimate for MFU accounting (one compile, not two)
+    compiled = make_fn(compute_neg=False).lower(params, *args).compile()
+    fast = measure(compiled, (params, *args), B)
+    log(f"[{label}] optimized: {fast:.1f} rows/s")
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            sec_per_step = B / fast
+            achieved = flops / sec_per_step
+            # v5e peak: 197 TFLOP/s bf16 (MXU); fp32 inputs are computed on
+            # the same MXU path, so bf16 peak is the honest denominator
+            mfu = achieved / 197e12
+            log(
+                f"[{label}] XLA flops/step {flops:.3e} ({flops / B:.3e}/row) -> "
+                f"{achieved / 1e12:.2f} TFLOP/s achieved, MFU {mfu * 100:.2f}% of bf16 peak"
+            )
+            eval_bench.last_mfu = {
+                "flops_per_row": flops / B, "achieved_tflops": achieved / 1e12,
+                "mfu_pct_bf16_peak": mfu * 100,
+            }
+    except Exception as e:  # cost_analysis is best-effort across backends
+        log(f"[{label}] cost_analysis unavailable: {e}")
+    if not with_baseline:
+        return fast, None
 
     # faithful-port baseline: XLA attention, full reference inference forward
-    # (negative pass included, as the reference computes at eval —
-    # eval.py:63). Its semantics are frozen, so the measurement is cached in
-    # the repo to avoid re-paying its multi-minute compile every bench run;
+    # (negative pass included, as the reference computes at eval — eval.py:63).
+    # Its semantics are frozen, so the measurement is cached in the repo;
     # delete BENCH_BASELINE.json to re-measure.
-    import os as _os
+    import os
 
-    cache_path = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
-    backend = jax.default_backend()
-    key = f"{backend}-B{B}-Lv{Lv}-Dv{Dv}"
+    key = f"{jax.default_backend()}-B{B}-Lv{Lv}-Dv{Dv}"
     base = None
-    if _os.path.exists(cache_path):
+    if os.path.exists(cache_path):
         with open(cache_path) as f:
             cached = json.load(f)
         if cached.get("key") == key:
             base = cached["baseline_rows_per_sec"]
-            log(f"baseline (cached {cached.get('measured')}): {base:.1f} rows/s")
+            log(f"[{label}] baseline (cached {cached.get('measured')}): {base:.1f} rows/s")
     if base is None:
         kernels.set_pallas_attention(False)
-        log("compiling + measuring faithful-port baseline")
-        base = measure(make_fn(compute_neg=True))
-        log(f"baseline: {base:.1f} rows/s")
+        log(f"[{label}] compiling + measuring faithful-port baseline")
+        base = measure(make_fn(compute_neg=True), (params, *args), B)
+        log(f"[{label}] baseline: {base:.1f} rows/s")
         import datetime
 
         with open(cache_path, "w") as f:
@@ -143,14 +180,106 @@ def main():
                 {"key": key, "baseline_rows_per_sec": base,
                  "measured": datetime.date.today().isoformat()}, f,
             )
-    kernels.set_pallas_attention(None)
+        kernels.set_pallas_attention(None)
+    return fast, base
 
+
+def train_bench(B=32):
+    """Fused train step at charades geometry: forward (stacked neg pass) +
+    on-device matching + all five losses + grad clip + AdamW."""
+    import jax
+    import jax.numpy as jnp
+
+    from mesm_tpu.losses import CriterionConfig
+    from mesm_tpu.parallel.step import TrainState, build_optimizer, make_train_step
+
+    Lv, Dv, Lw, Dt = 194, 2818, 16, 512
+    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    jb["words_label"] = jb["words_label"] % cfg.num_classes
+    jb["row_mask"] = jnp.ones((B,), bool)
+    ccfg = CriterionConfig(
+        span_coef=10.0, giou_coef=1.0, label_coef=4.0, saliency_coef=4.0,
+        recfw_coef=0.1, recss_coef=0.1,
+    )
+
+    def encode_text(frozen, b):  # features precomputed (GloVe-pkl style path)
+        return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
+            jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    log("[train] shape-only param init")
+    params = shape_only_params(model, args, kw, is_training=True)
+    tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+    train_step = make_train_step(model, ccfg, encode_text, tx)
+    rng = jax.random.PRNGKey(7)
+
+    log("[train] compiling + measuring fused train step (long compile)")
+    for _ in range(3):
+        state, metrics = train_step(state, {}, jb, rng)
+    jax.block_until_ready(metrics["loss_overall"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, {}, jb, rng)
+    jax.block_until_ready(metrics["loss_overall"])
+    dt = time.perf_counter() - t0
+    rows = B * iters / dt
+    log(f"[train] {dt / iters * 1e3:.1f} ms/step = {rows:.1f} rows/s")
+    return rows, dt / iters * 1e3
+
+
+def main():
+    extra = "--extra" in sys.argv
+
+    # charades C+SF geometry (config/charades/C+SF_C.json). The reference
+    # evaluates at batch 30 on one GPU; on TPU the eval step is latency-bound
+    # at that size, so the TPU-native eval batch is 128 rows (identical math,
+    # 4x fewer dispatches per row).
+    # NOTE: do not enable jax_compilation_cache_dir here — executable
+    # serialization is not supported over this environment's remote-compile
+    # relay and stalls the compile.
+    fast, base = eval_bench(
+        B=128, Lv=194, Dv=2818, Lw=16, Dt=512, label="charades", with_baseline=True
+    )
     print(json.dumps({
         "metric": "eval_throughput_rows_per_sec",
         "value": round(fast, 2),
         "unit": "rows/s",
         "vs_baseline": round(fast / base, 3),
     }))
+
+    if extra:
+        results = {"charades_eval_rows_per_sec": round(fast, 2),
+                   "charades_vs_baseline": round(fast / base, 3)}
+        tacos, _ = eval_bench(
+            B=16, Lv=600, Dv=4098, Lw=16, Dt=300, label="tacos", with_baseline=False
+        )
+        results["tacos_eval_rows_per_sec"] = round(tacos, 2)
+        print(json.dumps({
+            "metric": "tacos_eval_throughput_rows_per_sec",
+            "value": round(tacos, 2), "unit": "rows/s",
+        }))
+        train_rows, ms = train_bench(B=32)
+        results["train_rows_per_sec"] = round(train_rows, 2)
+        results["train_ms_per_step"] = round(ms, 2)
+        print(json.dumps({
+            "metric": "train_throughput_rows_per_sec",
+            "value": round(train_rows, 2), "unit": "rows/s",
+        }))
+        import datetime, os
+
+        results["measured"] = datetime.date.today().isoformat()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_EXTRA.json"), "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,10 @@ class BaseOptions:
                        help="precompute frozen-text encodings once per run "
                             "(value-identical; removes the text tower from "
                             "every step)")
+        p.add_argument("--eval_len_buckets", type=int, default=4,
+                       help="number of video-length buckets at eval; each "
+                            "batch pads to the smallest fitting bucket "
+                            "(one jit specialization per bucket). 1 = off")
         self.parser = p
 
     def load_config(self, opt):

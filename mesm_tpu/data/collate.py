@@ -37,6 +37,12 @@ class BatchSpec:
     contra_pairs: int = 2  # columns in pos_idx/neg_idx
     recfw: bool = True
     with_targets: bool = True
+    # Length buckets (ascending, last == max_video_l). When set, each batch is
+    # padded to the smallest bucket that fits its longest video instead of
+    # always max_video_l — the jitted eval step specializes once per bucket
+    # (a handful of compiles) and short batches skip most of the padded
+    # compute. Empty = single fixed bucket (training default: one compile).
+    video_buckets: Tuple[int, ...] = ()
 
 
 def _norm_xx_to_cxw(xx: np.ndarray) -> np.ndarray:
@@ -47,6 +53,13 @@ def make_collate(spec: BatchSpec):
     def collate(entries: List[Dict]) -> Tuple[Dict[str, np.ndarray], Dict[str, list]]:
         R = spec.row_capacity
         Lv = spec.max_video_l
+        if spec.video_buckets:
+            vmax = 1
+            for e in entries:
+                feats = e["video_feat"] if isinstance(e["video_feat"], list) else [e["video_feat"]]
+                vmax = max(vmax, max(f.shape[0] for f in feats))
+            vmax = min(vmax, spec.max_video_l)
+            Lv = next(b for b in spec.video_buckets if b >= vmax)
         G = spec.group_capacity
 
         rows: List[Dict] = []

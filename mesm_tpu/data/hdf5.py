@@ -2,10 +2,11 @@
 
 The reference opens the HDF5 file on EVERY __getitem__ call
 (reference dataset/charades.py:108-119, dataset/qvhighlights.py:201-211) —
-a measured hot spot (BASELINE.md). Here each (process, file) pair keeps one
-open handle; h5py handles are not thread-safe for concurrent reads of the
-same handle, so reads are serialized per file with a lock (the prefetch
-pipeline overlaps decode with device compute anyway).
+a measured hot spot (BASELINE.md). Here each (process, thread, file) triple
+keeps one open handle: h5py handles are not thread-safe for concurrent reads
+of the same handle, so instead of serializing all reads behind one lock we
+give every loader thread its own handle set — reads on different threads
+(and different files) overlap fully.
 """
 from __future__ import annotations
 
@@ -31,28 +32,30 @@ class FeatureStore:
             raise RuntimeError("h5py is required for HDF5 feature stores")
         self.feat_files = list(feat_files)
         self.normalize = normalize
-        self._handles: Dict[str, "h5py.File"] = {}
-        self._lock = threading.Lock()
-        self._pid = os.getpid()
+        self._local = threading.local()
+
+    def _handles(self) -> Dict[str, "h5py.File"]:
+        # one handle set per (process, thread); re-open after fork (h5py
+        # handles cannot cross processes) and never share across threads
+        if getattr(self._local, "pid", None) != os.getpid():
+            self._local.handles = {}
+            self._local.pid = os.getpid()
+        return self._local.handles
 
     def _handle(self, path: str):
-        # re-open after fork (handles cannot cross processes)
-        if os.getpid() != self._pid:
-            self._handles = {}
-            self._pid = os.getpid()
-        h = self._handles.get(path)
+        handles = self._handles()
+        h = handles.get(path)
         if h is None:
             h = h5py.File(path, "r")
-            self._handles[path] = h
+            handles[path] = h
         return h
 
     def get(self, video_id: str, max_len: Optional[int] = None) -> np.ndarray:
         feats: List[np.ndarray] = []
-        with self._lock:
-            for path in self.feat_files:
-                ds = self._handle(path)[video_id]
-                arr = ds[:max_len] if max_len is not None else ds[:]
-                feats.append(np.asarray(arr, dtype=np.float32))
+        for path in self.feat_files:
+            ds = self._handle(path)[video_id]
+            arr = ds[:max_len] if max_len is not None else ds[:]
+            feats.append(np.asarray(arr, dtype=np.float32))
         min_len = min(f.shape[0] for f in feats)
         feats = [f[:min_len] for f in feats]
         out = np.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
@@ -62,17 +65,18 @@ class FeatureStore:
         return out
 
     def keys(self) -> List[str]:
-        with self._lock:
-            return list(self._handle(self.feat_files[0]).keys())
+        return list(self._handle(self.feat_files[0]).keys())
 
     def close(self):
-        with self._lock:
-            for h in self._handles.values():
-                try:
-                    h.close()
-                except Exception:
-                    pass
-            self._handles = {}
+        """Close the calling thread's handles (other threads' handles are
+        released when they exit / at process teardown — read-only, safe)."""
+        handles = self._handles()
+        for h in handles.values():
+            try:
+                h.close()
+            except Exception:
+                pass
+        self._local.handles = {}
 
 
 def normalize_rows(feat: np.ndarray) -> np.ndarray:

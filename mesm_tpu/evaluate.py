@@ -149,7 +149,7 @@ def inference(args=None):
     encode_text, frozen = R.build_text_encoder(opt, vocab, compute_dtype)
 
     logger.info(f"Load checkpoint from {opt.resume}")
-    if opt.resume.endswith(".ckpt") and _is_torch_ckpt(opt.resume):
+    if _is_torch_ckpt(opt.resume):
         from .convert import load_torch_mesm_checkpoint
 
         params, epoch = load_torch_mesm_checkpoint(opt.resume, R.build_model_config(opt))
@@ -191,11 +191,20 @@ def inference(args=None):
 
 
 def _is_torch_ckpt(path: str) -> bool:
-    try:
-        load_checkpoint(path)
-        return False
-    except Exception:
-        return True
+    """Sniff the format from the leading bytes — no full unpickle.
+
+    Modern torch.save writes a zip archive ("PK\\x03\\x04"); legacy torch
+    writes a protocol-2 pickle ("\\x80\\x02" + torch magic). Our native
+    checkpoints are protocol>=4 pickles of a dict tagged mesm_tpu.v1
+    (utils/checkpoint.py:26-36), whose first pickled item is the short
+    string 'format'."""
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head.startswith(b"PK"):
+        return True  # torch zipfile serialization
+    if head.startswith(b"\x80\x02"):
+        return True  # legacy torch pickle (protocol 2 magic-number preamble)
+    return b"format" not in head and b"mesm_tpu" not in head
 
 
 if __name__ == "__main__":

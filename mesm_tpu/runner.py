@@ -92,6 +92,19 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
     # multiple of the device count so every shard gets equal rows
     n_dev = _n_data_devices(opt)
     row_cap = ((row_cap + n_dev - 1) // n_dev) * n_dev
+    buckets: tuple = ()
+    n_buckets = getattr(opt, "eval_len_buckets", 1) or 1
+    if for_eval and n_buckets > 1:
+        # fractional buckets of max_video_l, rounded up to multiples of 8
+        # (TPU sublane alignment); most real videos are far below the cap
+        edges = sorted(
+            {
+                min(-8 * (-(opt.max_video_l * i) // (8 * n_buckets)), opt.max_video_l)
+                for i in range(1, n_buckets)
+            }
+            | {opt.max_video_l}
+        )
+        buckets = tuple(e for e in edges if e > 0)
     return BatchSpec(
         row_capacity=row_cap,
         max_video_l=opt.max_video_l,
@@ -102,6 +115,7 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
         contra_pairs=2 if multi else max(opt.contra_samples, 1),
         recfw=opt.rec_fw,
         with_targets=not (multi and dataset.split == "test"),
+        video_buckets=buckets,
     )
 
 

@@ -153,6 +153,30 @@ def test_collate_shapes_and_padding(charades_root):
     assert (batch["video_feat"][n_rows:] == batch["video_feat"][0][None]).all()
 
 
+def test_collate_video_length_buckets(charades_root):
+    """With buckets set, each batch pads to the smallest bucket that fits its
+    longest video; values equal the fixed-bucket collate on the shared
+    prefix."""
+    ds = make_charades(charades_root)
+    fixed = make_collate(BatchSpec(row_capacity=8, max_video_l=20, group_capacity=3))
+    bucketed = make_collate(
+        BatchSpec(
+            row_capacity=8, max_video_l=20, group_capacity=3,
+            video_buckets=(8, 16, 20),
+        )
+    )
+    bb, meta = bucketed([ds[0], ds[1]])
+    fb, _ = fixed([ds[0], ds[1]])
+    Lv = bb["video_feat"].shape[1]
+    assert Lv in (8, 16, 20)
+    vmax = int(fb["video_mask"].sum(1).max())
+    assert Lv == next(b for b in (8, 16, 20) if b >= vmax)
+    np.testing.assert_array_equal(bb["video_feat"], fb["video_feat"][:, :Lv])
+    np.testing.assert_array_equal(bb["video_mask"], fb["video_mask"][:, :Lv])
+    np.testing.assert_array_equal(bb["clip_mask"], fb["clip_mask"][:, :Lv])
+    np.testing.assert_array_equal(bb["norm_moment"], fb["norm_moment"])
+
+
 def test_row_budget_batcher(charades_root):
     ds = make_charades(charades_root)
     b = RowBudgetBatcher(ds, row_capacity=5, shuffle=True, seed=0)

@@ -6,6 +6,10 @@ import os
 
 from synth_root import make_charades_root
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _first_epoch_losses(root, tag):
     cfg_path = os.path.join(root, "config.json")

@@ -8,6 +8,8 @@ import os
 import h5py
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 

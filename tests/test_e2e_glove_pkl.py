@@ -9,6 +9,10 @@ from collections import Counter
 import h5py
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_glove_pkl_root(root: str, seed: int = 0):
     ann = os.path.join(root, "annotations")

@@ -8,6 +8,8 @@ import h5py
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def make_qvh_root(root: str, seed: int = 0):
     ann = os.path.join(root, "annotations")

@@ -7,6 +7,10 @@ import os
 import h5py
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_tacos_root(root: str, seed: int = 0):
     ann = os.path.join(root, "annotations")

@@ -8,6 +8,10 @@ import numpy as np
 
 from synth_root import make_charades_root
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_resume_all_continues_training(tmp_path):
     root = str(tmp_path)

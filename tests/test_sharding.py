@@ -7,9 +7,12 @@ import numpy as np
 import __graft_entry__ as graft
 from mesm_tpu.losses import CriterionConfig, compute_losses
 
+import pytest
+
 from synth import make_batch
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert len(jax.devices()) >= 8
     graft.dryrun_multichip(8)
@@ -21,6 +24,7 @@ def test_entry_compiles():
     assert lowered is not None
 
 
+@pytest.mark.slow
 def test_row_padding_does_not_change_losses():
     """Criterion with row_mask over a padded batch == criterion on the real rows."""
     rng = np.random.default_rng(0)
