@@ -1,16 +1,22 @@
 """Global kernel dispatch switches.
 
 Fused Pallas attention (ops/attention_pallas.py) vs the XLA core, measured on
-v5e (fp32, uncontended):
+v5e IN-MODEL via jax.profiler traces (round 2; wall-clock micro-timing
+through this environment's remote relay proved unreliable — traces only):
 
-  geometry              XLA      per-head kernel   all-heads kernel
-  32 x 8 x 195 x 195    415us    634us             515us     <- XLA wins
-  16 x 8 x 600 x 600    4079us   1137us (3.6x)     1585us    <- kernel wins
-  8  x 8 x 600 x 600    721us    1033us            1645us
+  site (eval step)                       XLA chain    v3 "batched" kernel
+  DETR encoder self-attn 128x8x195x195   1.76 ms/step 1.05 ms kernels + 0.31 ms
+                                                      layout copies + fusion
+                                                      ripple -> NET LOSS
+                                                      (busy 6.5 -> 7.3 ms/step)
+  DETR encoder self-attn 16x8x601x601    1.91 ms/lyr  1.02 ms/lyr -> step busy
+                                                      32.0 -> 23.1 ms (-28%)
 
-At short lengths the model is latency-bound and XLA's batched matmuls +
-fusion win; at TACoS-length sequences with enough rows, the (B,H,Lq,Lk)
-logits tensor round-trips HBM in the XLA path and the fused kernel wins ~3.6x.
+Why the short-length loss persists across three kernel layouts (per-head,
+all-heads, sample-tiled batched): head_dim 32 pads to 128 lanes (4x VMEM and
+MXU waste), and the (B,L,E)->(B,H,L,hd) layout change XLA inserts around the
+custom call costs ~0.3 ms — the HBM saved on a 195x195 logits tile doesn't
+cover it. At 600+ the logits tensor is 9.5x larger and the kernel wins big.
 
 Modes: "off" (always XLA), "on" (kernel for any shape above the minimum
 lowering size), "auto" (default — kernel only where measured to win: both

@@ -28,10 +28,13 @@ NEG_INF = -1e9
 
 # Below this logits area, per-block kernel overhead beats the HBM savings and
 # the XLA core wins (measured on v5e: the model's 10x195 decoder and 195x17
-# t2v sites regress under the kernel; the 195x195 encoder self-attn gains
-# ~2.8x). Tune per generation if needed.
+# t2v sites regress under the kernel). Tune per generation if needed.
 MIN_FUSED_LQ = 64
 MIN_FUSED_LK = 64
+
+# Which kernel layout fused_attention uses (see the three _mha_kernel_*):
+# "batched" = sample-tiled batched dots (v3, fastest measured).
+DEFAULT_VARIANT = "batched"
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
@@ -79,6 +82,46 @@ def _mha_kernel_allheads(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, 
         ).astype(o_ref.dtype)
 
 
+def _mha_kernel_batched(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    """v3 layout: one grid step per (sample-tile, head). Batched dots over NB
+    samples amortize per-block overhead ~NB-fold vs the per-(sample, head)
+    grid, and the VPU softmax vectorizes over the whole (NB, Lq, Lk) tile."""
+    q = q_ref[:, 0]  # (NB, Lq, hd)
+    k = k_ref[:, 0]  # (NB, Lk, hd)
+    v = v_ref[:, 0]  # (NB, Lk, hdv)
+    m = mask_ref[:, 0]  # (NB, Lk) float, 1 = attendable
+
+    logits = jax.lax.dot_general(
+        (q * scale).astype(jnp.float32),
+        k.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (NB, Lq, Lk)
+    logits = jnp.where(m[:, None, :] > 0, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o_ref[:, 0] = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _batch_tile(B: int, Lq: int, Lk: int) -> int:
+    """Largest divisor of B whose (NB, Lq, Lk) f32 logits tile (padded to the
+    (8, 128) tiling, with ~2x headroom for softmax temporaries) fits the 16MB
+    scoped-VMEM budget. Measured: NB=16 at 195x195 and NB=8 at 601x601 both
+    OOM; NB=8 at 195x195 lowers and runs."""
+    pad8 = lambda n: -8 * (-n // 8)
+    pad128 = lambda n: -128 * (-n // 128)
+    tile_bytes = pad8(Lq) * pad128(Lk) * 4 * 2
+    cap = max(1, int(8e6 // tile_bytes))
+    for nb in range(min(cap, 8, B), 0, -1):
+        if B % nb == 0:
+            return nb
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "variant"))
 def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool, variant: str = "per_head"):
     B, Lq, E = q.shape
@@ -100,7 +143,26 @@ def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool, varian
         bytes_accessed=4 * B * H * (Lq * hd + Lk * hd + Lk * hdv + Lq * hdv),
         transcendentals=B * H * Lq * Lk,
     )
-    if variant == "all_heads":
+    if variant == "batched":
+        NB = _batch_tile(B, Lq, Lk)
+        mask_bh = mask.reshape(B, 1, Lk)
+        out = pl.pallas_call(
+            functools.partial(_mha_kernel_batched, scale=scale),
+            grid=(B // NB, H),
+            in_specs=[
+                pl.BlockSpec((NB, 1, Lq, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, 1, Lk, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, 1, Lk, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, 1, Lk), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (NB, 1, Lq, hdv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Lq, hdv), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qh, kh, vh, mask_bh)
+    elif variant == "all_heads":
         out = pl.pallas_call(
             functools.partial(_mha_kernel_allheads, scale=scale, heads=H),
             grid=(B,),
@@ -177,4 +239,4 @@ def fused_attention(
     else:
         mask = key_valid_mask.astype(jnp.float32)
     interpret = jax.default_backend() == "cpu"
-    return _fused_attention_impl(q, k, v, mask, num_heads, interpret)
+    return _fused_attention_impl(q, k, v, mask, num_heads, interpret, DEFAULT_VARIANT)

@@ -1,0 +1,70 @@
+"""Capture a jax.profiler trace of the optimized eval step (bench geometry)
+and print the per-op timing table (mesm_tpu.utils.trace_report).
+
+Run on the TPU host:  python scripts/profile_eval.py [--trace-dir traces/eval]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench helpers)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default="traces/eval")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--geometry", default="charades", choices=["charades", "tacos"])
+    ap.add_argument("--kernels", default="auto", choices=["auto", "on", "off"])
+    args = ap.parse_args()
+
+    import jax
+
+    from mesm_tpu import kernels
+
+    kernels.set_pallas_attention(args.kernels)
+
+    if args.geometry == "charades":
+        B, Lv, Dv, Lw, Dt = 128, 194, 2818, 16, 512
+    else:
+        B, Lv, Dv, Lw, Dt = 16, 600, 4098, 16, 300
+    cfg, model, jb, neg = bench.make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    fwd_args = (jb["video_feat"], jb["video_mask"], jb["words_feat"],
+                jb["words_mask"], jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    params = bench.shape_only_params(model, fwd_args, kw)
+
+    @jax.jit
+    def fn(p, *a):
+        out = model.apply(
+            {"params": p}, *a,
+            is_training=False, deterministic=True, compute_neg=False, **kw,
+        )
+        return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
+
+    bench.log("compiling")
+    for _ in range(3):
+        r = fn(params, *fwd_args)
+    jax.block_until_ready(r)
+
+    bench.log(f"tracing {args.iters} steps -> {args.trace_dir}")
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.iters):
+            r = fn(params, *fwd_args)
+        jax.block_until_ready(r)
+
+    from mesm_tpu.utils.trace_report import report
+
+    print(report(args.trace_dir, top=35))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,28 @@ def test_fused_pallas_matches_core():
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
+def test_fused_pallas_all_variants_match():
+    """All three kernel layouts agree with the XLA core (incl. odd batch
+    sizes that force uneven sample-tile divisors in the batched variant)."""
+    from mesm_tpu.ops.attention_pallas import _fused_attention_impl
+
+    rng = np.random.default_rng(7)
+    for B in (2, 3, 8):
+        q, k, v, mask = _rand_qkv(rng, B=B, Lq=96, Lk=64, E=64, Ev=64)
+        ref = attention_core(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
+        )
+        for variant in ("per_head", "all_heads", "batched"):
+            ours = _fused_attention_impl(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(mask, jnp.float32), 4, True, variant,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), atol=1e-5,
+                err_msg=f"variant={variant} B={B}",
+            )
+
+
 def test_fused_dispatch_large_shapes():
     """Above the threshold the dispatcher takes the kernel path and matches."""
     rng = np.random.default_rng(3)
