@@ -156,6 +156,12 @@ class BaseOptions:
                        help="number of video-length buckets at eval; each "
                             "batch pads to the smallest fitting bucket "
                             "(one jit specialization per bucket). 1 = off")
+        p.add_argument("--dedup_video", type=str, default="on",
+                       choices=["on", "off"],
+                       help="at eval, project each unique video once and "
+                            "gather rows after the input projection "
+                            "(value-identical; auto-disabled when videos "
+                            "average < 1.5 sentences)")
         self.parser = p
 
     def load_config(self, opt):

@@ -43,6 +43,13 @@ class BatchSpec:
     # (a handful of compiles) and short batches skip most of the padded
     # compute. Empty = single fixed bucket (training default: one compile).
     video_buckets: Tuple[int, ...] = ()
+    # >0: emit each video ONCE (`video_feat_g` (cap, Lv, Dv) + per-row
+    # `video_slot`) instead of replicating it per sentence row. The model
+    # projects unique videos and gathers rows after the (2818-wide, HBM-bound)
+    # input projection — a measured eval hot spot. Batches must contain at
+    # most this many videos (the eval batcher enforces it). Only used when
+    # every entry shares one video array across its rows (charades family).
+    video_groups_cap: int = 0
 
 
 def _norm_xx_to_cxw(xx: np.ndarray) -> np.ndarray:
@@ -99,8 +106,24 @@ def make_collate(spec: BatchSpec):
         feat0 = first["video_feat"][0] if isinstance(first["video_feat"], list) else first["video_feat"]
         Dv = feat0.shape[1]
 
+        dedup = spec.video_groups_cap > 0 and all(
+            not isinstance(e["video_feat"], list) for e in entries
+        )
         batch: Dict[str, np.ndarray] = {}
-        batch["video_feat"] = np.zeros((R, Lv, Dv), np.float32)
+        if dedup:
+            NGc = spec.video_groups_cap
+            if len(entries) > NGc:
+                raise ValueError(f"batch has {len(entries)} videos > cap {NGc}")
+            batch["video_feat_g"] = np.zeros((NGc, Lv, Dv), np.float32)
+            batch["video_mask_g"] = np.zeros((NGc, Lv), bool)
+            batch["video_slot"] = np.zeros((R,), np.int32)
+            for g, e in enumerate(entries):
+                feat = e["video_feat"]
+                L = min(feat.shape[0], Lv)
+                batch["video_feat_g"][g, :L] = feat[:L]
+                batch["video_mask_g"][g, :L] = True
+        else:
+            batch["video_feat"] = np.zeros((R, Lv, Dv), np.float32)
         batch["video_mask"] = np.zeros((R, Lv), bool)
         if words_is_feat:
             batch["words_id"] = np.zeros((R, Lw, Dw), np.float32)
@@ -152,7 +175,10 @@ def make_collate(spec: BatchSpec):
             e, i, g = row["entry"], row["i"], row["group"]
             feat = e["video_feat"][i] if isinstance(e["video_feat"], list) else e["video_feat"]
             L = min(feat.shape[0], Lv)
-            batch["video_feat"][r, :L] = feat[:L]
+            if dedup:
+                batch["video_slot"][r] = g
+            else:
+                batch["video_feat"][r, :L] = feat[:L]
             batch["video_mask"][r, :L] = True
             batch["words_id"][r] = e["words_id"][i]
             batch["words_weight"][r] = e["words_weight"][i]
@@ -211,7 +237,8 @@ def make_collate(spec: BatchSpec):
         # pad rows with copies of row 0 (row_mask already False)
         if n_real < R and n_real > 0:
             for k, v in batch.items():
-                if k in ("ss_video_feat_groups", "ss_video_mask_groups"):
+                if k in ("ss_video_feat_groups", "ss_video_mask_groups",
+                         "video_feat_g", "video_mask_g"):
                     continue
                 if k == "row_mask":
                     continue

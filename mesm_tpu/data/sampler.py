@@ -19,12 +19,16 @@ from typing import Dict, Iterator, List
 class RowBudgetBatcher:
     """Greedy row-budget packing of merged entries."""
 
-    def __init__(self, dataset, row_capacity: int, shuffle: bool, seed: int = 0, drop_single_group: bool = True):
+    def __init__(self, dataset, row_capacity: int, shuffle: bool, seed: int = 0,
+                 drop_single_group: bool = True, max_entries: int = 0):
         self.dataset = dataset
         self.row_capacity = row_capacity
         self.shuffle = shuffle
         self.rng = random.Random(seed)
         self.drop_single_group = drop_single_group
+        # >0: also cap the ENTRY (video) count per batch — required by the
+        # deduplicated-video collate whose group array has a static capacity
+        self.max_entries = max_entries
         self._epoch = 0
         max_rows = dataset.max_group_size()
         if max_rows > row_capacity:
@@ -46,7 +50,9 @@ class RowBudgetBatcher:
         used = 0
         for idx in order:
             n = self._n_rows(idx)
-            if used + n > self.row_capacity:
+            if used + n > self.row_capacity or (
+                self.max_entries and len(batch) >= self.max_entries
+            ):
                 if self._valid(batch):
                     yield batch
                 batch, used = [], 0

@@ -261,7 +261,7 @@ class MESM(nn.Module):
 
     def __call__(
         self,
-        video_feat: jnp.ndarray,  # (B, Lv, Dv)
+        video_feat: Optional[jnp.ndarray],  # (B, Lv, Dv); None with video_feat_g
         video_mask: jnp.ndarray,  # (B, Lv) bool
         words_feat: jnp.ndarray,  # (B, Lw, Dt) encoded text (frozen encoder output)
         words_mask: jnp.ndarray,  # (B, Lw) bool
@@ -279,14 +279,29 @@ class MESM(nn.Module):
         ss_own_pos: Optional[jnp.ndarray] = None,  # (B,)
         ss_video_feat: Optional[jnp.ndarray] = None,  # (B, Lss, Dv) qvh group video
         ss_video_mask: Optional[jnp.ndarray] = None,  # (B, Lss)
+        video_feat_g: Optional[jnp.ndarray] = None,  # (NG, Lv, Dv) unique videos
+        video_mask_g: Optional[jnp.ndarray] = None,  # (NG, Lv)
+        video_slot: Optional[jnp.ndarray] = None,  # (B,) row -> unique video
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
-        B = video_feat.shape[0]
+        B = video_mask.shape[0]
         det = deterministic
 
-        projed_video_feat = self.input_vid_proj(video_feat, deterministic=det)
+        if video_feat_g is not None:
+            # deduplicated eval path: project each unique video once, gather
+            # rows after the (v_feat_dim-wide) projection — identical values
+            # to the per-row path (dropout is inactive at eval)
+            projed_g = self.input_vid_proj(video_feat_g, deterministic=det)
+            projed_video_feat = projed_g[video_slot]
+            vid_position = self.vid_position_embed(video_mask_g).astype(
+                projed_video_feat.dtype
+            )[video_slot]
+        else:
+            projed_video_feat = self.input_vid_proj(video_feat, deterministic=det)
+            vid_position = self.vid_position_embed(video_mask).astype(
+                projed_video_feat.dtype
+            )
         projed_words_feat = self.input_txt_proj(words_feat, deterministic=det)
-        vid_position = self.vid_position_embed(video_mask).astype(projed_video_feat.dtype)
         txt_position = self._txt_pos(projed_words_feat, det)
 
         # (FW-MESM enhance happens below, stacked with the negative pass.)
@@ -294,16 +309,23 @@ class MESM(nn.Module):
         # --- SS-MESM: reconstruct own sentence from group video ------------
         if c.rec_ss:
             if ss_video_feat is None:  # single-video groups (charades family)
-                batched_vid_raw = video_feat
+                # (a second, independent projection draw of the same video —
+                # reference model.py:200; identical to the main projection
+                # when deterministic, so the dedup gather applies here too)
+                if video_feat_g is not None:
+                    batched_vid = self.input_vid_proj(video_feat_g, deterministic=det)[
+                        video_slot
+                    ]
+                else:
+                    batched_vid = self.input_vid_proj(video_feat, deterministic=det)
                 batched_vid_mask = video_mask
                 batched_vid_position = vid_position
             else:  # qvhighlights: concatenated group clips
-                batched_vid_raw = ss_video_feat
                 batched_vid_mask = ss_video_mask
                 batched_vid_position = self.vid_position_embed(ss_video_mask).astype(
                     projed_video_feat.dtype
                 )
-            batched_vid = self.input_vid_proj(batched_vid_raw, deterministic=det)
+                batched_vid = self.input_vid_proj(ss_video_feat, deterministic=det)
             group_sent = sentence_feat[ss_sent_idx]  # (B, G, Dt)
             batched_sent = self.input_txt_proj(group_sent, deterministic=det)
             recon_feat, projed_recon_feat = self.ss_reconstructor(
@@ -490,7 +512,7 @@ class MESM(nn.Module):
                 projed_words_feat, unknown_mask, det
             )
             # compact each row's GT-clip frames to the front (stable order)
-            Lv = video_feat.shape[1]
+            Lv = video_mask.shape[1]
             order = jnp.argsort(~clip_mask.astype(bool), axis=1, stable=True)
             merged_clip_feat = jnp.take_along_axis(
                 projed_video_feat, order[..., None], axis=1

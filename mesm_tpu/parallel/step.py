@@ -78,8 +78,8 @@ def sample_out_of_group(
 EncodeTextFn = Callable[[dict, Dict[str, jnp.ndarray]], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
 
-def _model_kwargs(batch):
-    return dict(
+def _model_kwargs(batch, dedup_video: bool = False):
+    kw = dict(
         clip_mask=batch.get("clip_mask"),
         words_weight=batch.get("words_weight"),
         unknown_mask=batch.get("unknown_mask"),
@@ -89,6 +89,15 @@ def _model_kwargs(batch):
         ss_video_feat=batch.get("ss_video_feat"),
         ss_video_mask=batch.get("ss_video_mask"),
     )
+    if dedup_video:
+        # eval-only: at train the per-row projection keeps independent
+        # dropout draws per sentence row, like the reference
+        kw.update(
+            video_feat_g=batch.get("video_feat_g"),
+            video_mask_g=batch.get("video_mask_g"),
+            video_slot=batch.get("video_slot"),
+        )
+    return kw
 
 
 def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, tx):
@@ -147,7 +156,7 @@ def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: Encod
         )
         out = model.apply(
             {"params": params},
-            batch["video_feat"],
+            batch.get("video_feat"),  # None on the deduplicated-video path
             batch["video_mask"],
             words_feat,
             words_mask,
@@ -156,7 +165,7 @@ def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: Encod
             is_training=False,
             deterministic=True,
             compute_neg=with_loss,  # negatives only feed the eval loss
-            **_model_kwargs(batch),
+            **_model_kwargs(batch, dedup_video=True),
         )
         prob = jax.nn.softmax(out["pred_logits"], axis=-1)
         preds = {

@@ -92,6 +92,17 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
     # multiple of the device count so every shard gets equal rows
     n_dev = _n_data_devices(opt)
     row_cap = ((row_cap + n_dev - 1) // n_dev) * n_dev
+    # per-video dedup at eval: the model projects each unique video once and
+    # gathers rows after the (v_feat_dim-wide, HBM-bound) input projection.
+    # Only pays off when videos average >= ~1.5 sentences (the static group
+    # array must be meaningfully smaller than row capacity); multi-clip (qvh)
+    # uses per-row video lists and is excluded by the collate anyway.
+    ded_cap = 0
+    if for_eval and not multi and getattr(opt, "dedup_video", "on") != "off":
+        rows = [len(e["video_id"]) for e in dataset.merged_data]
+        avg = sum(rows) / max(len(rows), 1)
+        if avg >= 1.5:
+            ded_cap = min(row_cap, int(math.ceil(row_cap / avg * 1.3)))
     buckets: tuple = ()
     n_buckets = getattr(opt, "eval_len_buckets", 1) or 1
     if for_eval and n_buckets > 1:
@@ -116,6 +127,7 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
         recfw=opt.rec_fw,
         with_targets=not (multi and dataset.split == "test"),
         video_buckets=buckets,
+        video_groups_cap=ded_cap,
     )
 
 
@@ -140,7 +152,8 @@ def build_loaders(opt, vocab=None, splits: str = "train+val"):
             ds = build_dataset(opt, split, recfw=False, vocab=vocab)
             spec = make_batch_spec(opt, ds, for_eval=True)
             batcher = RowBudgetBatcher(
-                ds, spec.row_capacity, shuffle=False, drop_single_group=False
+                ds, spec.row_capacity, shuffle=False, drop_single_group=False,
+                max_entries=spec.video_groups_cap,
             )
             val_loaders[split] = Loader(
                 ds, batcher, make_collate(spec), num_workers=min(opt.num_workers, 4)

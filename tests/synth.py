@@ -26,9 +26,14 @@ def make_batch(
     group_id[0] = 0
     group_id[-1] = n_groups - 1
 
-    vid_len = rng.integers(Lv // 2, Lv + 1, B)
-    video_mask = (np.arange(Lv)[None] < vid_len[:, None])
-    video_feat = rng.normal(size=(B, Lv, Dv)).astype(np.float32) * video_mask[..., None]
+    # rows of one group share one video (mirrors the collate: a group = the
+    # sentences of a single video, its features replicated per row)
+    g_len = rng.integers(Lv // 2, Lv + 1, n_groups)
+    g_mask = np.arange(Lv)[None] < g_len[:, None]
+    g_feat = rng.normal(size=(n_groups, Lv, Dv)).astype(np.float32) * g_mask[..., None]
+    vid_len = g_len[group_id]
+    video_mask = g_mask[group_id]
+    video_feat = g_feat[group_id]
 
     w_len = rng.integers(3, Lw + 1, B)
     words_mask = (np.arange(Lw)[None] < w_len[:, None])
@@ -71,6 +76,11 @@ def make_batch(
     batch = dict(
         video_feat=video_feat,
         video_mask=video_mask,
+        # deduplicated-video variants (drop video_feat and keep these to
+        # exercise the eval dedup path)
+        video_feat_g=g_feat,
+        video_mask_g=g_mask,
+        video_slot=group_id.astype(np.int32),
         words_feat=words_feat,
         words_mask=words_mask,
         sentence_feat=sentence_feat,

@@ -75,6 +75,44 @@ def full_run():
     return batch, *init_and_apply(cfg, batch)
 
 
+def test_dedup_video_path_matches_per_row(full_run):
+    """Eval with video_feat_g + video_slot equals the per-row video path
+    bit-for-bit (deterministic: the dedup is a pure re-association)."""
+    batch, model, variables, _ = full_run
+    neg_rows = jnp.asarray(sample_neg_rows(np.random.default_rng(1), batch["group_id"]))
+    kwargs = dict(
+        is_training=False,
+        deterministic=True,
+        clip_mask=jnp.asarray(batch["clip_mask"]),
+        words_weight=jnp.asarray(batch["words_weight"]),
+        unknown_mask=jnp.asarray(batch["unknown_mask"]),
+        ss_sent_idx=jnp.asarray(batch["ss_sent_idx"]),
+        ss_sent_mask=jnp.asarray(batch["ss_sent_mask"]),
+        ss_own_pos=jnp.asarray(batch["ss_own_pos"]),
+    )
+    common = (
+        jnp.asarray(batch["video_mask"]),
+        jnp.asarray(batch["words_feat"]),
+        jnp.asarray(batch["words_mask"]),
+        jnp.asarray(batch["sentence_feat"]),
+        neg_rows,
+    )
+    per_row = model.apply(variables, jnp.asarray(batch["video_feat"]), *common, **kwargs)
+    dedup = model.apply(
+        variables,
+        None,
+        *common,
+        video_feat_g=jnp.asarray(batch["video_feat_g"]),
+        video_mask_g=jnp.asarray(batch["video_mask_g"]),
+        video_slot=jnp.asarray(batch["video_slot"]),
+        **kwargs,
+    )
+    for k in per_row:
+        np.testing.assert_allclose(
+            np.asarray(dedup[k]), np.asarray(per_row[k]), atol=1e-6, err_msg=k
+        )
+
+
 def test_output_shapes(full_run):
     batch, model, variables, out = full_run
     assert out["pred_logits"].shape == (B, NQ, 2)
