@@ -33,7 +33,8 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024, n_groups=None):
+def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
+                         n_groups=None, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024, n_gro
         hidden_dim=hidden, v_feat_dim=Dv, t_feat_dim=Dt, nheads=heads,
         dim_feedforward=ffn, num_queries=10, max_words_l=Lw, max_video_l=Lv,
         num_classes=1114, rec_fw=True, rec_ss=True, aux_loss=True,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
     model = MESM(cfg)
 
@@ -100,12 +102,20 @@ def measure(fn, first_args, B, iters=20, warmup=3):
     return B * iters / dt
 
 
-def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False):
+def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
+    """Optimized path: bf16 compute (metric parity gated by
+    tests/test_e2e.py::test_bf16_eval_metric_parity), deduplicated video
+    projection, no negative pass. Baseline: faithful fp32 reference
+    semantics (per-row video, negative pass as reference eval.py:63)."""
     import jax
 
     from mesm_tpu import kernels
 
-    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt, dtype=dtype)
+    if with_baseline:
+        _, model_f32, _, _ = make_model_and_batch(B, Lv, Dv, Lw, Dt, dtype="float32")
+    else:
+        model_f32 = model
     args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
             jb["sentence_feat"], neg)
     kw = dict(
@@ -116,7 +126,8 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False):
     log(f"[{label}] shape-only param init")
     params = shape_only_params(model, args, kw)
 
-    def make_fn(compute_neg: bool, dedup: bool = False):
+    def make_fn(compute_neg: bool, dedup: bool = False, m=None):
+        m = m if m is not None else model
         extra = dict(kw)
         if dedup:  # the shipped eval path: project unique videos, gather rows
             extra.update(
@@ -128,7 +139,7 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False):
         @jax.jit
         def fn(p, *a):
             a = (None, *a[1:]) if dedup else a
-            out = model.apply(
+            out = m.apply(
                 {"params": p}, *a,
                 is_training=False, deterministic=True, compute_neg=compute_neg, **extra,
             )
@@ -183,8 +194,8 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False):
             log(f"[{label}] baseline (cached {cached.get('measured')}): {base:.1f} rows/s")
     if base is None:
         kernels.set_pallas_attention(False)
-        log(f"[{label}] compiling + measuring faithful-port baseline")
-        base = measure(make_fn(compute_neg=True), (params, *args), B)
+        log(f"[{label}] compiling + measuring faithful-port baseline (fp32)")
+        base = measure(make_fn(compute_neg=True, m=model_f32), (params, *args), B)
         log(f"[{label}] baseline: {base:.1f} rows/s")
         import datetime
 

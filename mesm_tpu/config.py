@@ -190,7 +190,8 @@ class BaseOptions:
                     "sort_results", "max_ts_val", "ann_path", "is_inference",
                     "feat_files", "bpe_path", "text_model_path",
                     "trained_result_dir", "inference_id", "inference_result_dir",
-                    "n_devices", "compute_dtype", "pallas_attention", "cache_text"}
+                    "n_devices", "compute_dtype", "pallas_attention", "cache_text",
+                    "eval_len_buckets", "dedup_video", "row_capacity"}
             for key, value in saved.items():
                 if key not in keep:
                     setattr(opt, key, value)

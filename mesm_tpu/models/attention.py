@@ -56,8 +56,13 @@ def attention_core(
     kh = k.reshape(B, Lk, num_heads, head_dim).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Lk, num_heads, v_head_dim).transpose(0, 2, 1, 3)
 
+    # In bf16 compute mode the logits tensor — the dominant HBM traffic at
+    # L>=195 — is STORED bf16 (MXU still accumulates f32 internally); the
+    # softmax below upcasts element-wise inside its fusions, so no f32 copy
+    # ever hits HBM. fp32 mode keeps f32 logits for bit-parity.
+    acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=acc_t
     )
     if logit_bias is not None:
         logits = logits + logit_bias
@@ -70,11 +75,11 @@ def attention_core(
         logits = jnp.where(qf[..., :, None] & kf[..., None, :], NEG_INF, logits)
     if key_valid_mask is not None:
         logits = jnp.where(key_valid_mask[:, None, None, :], logits, NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=acc_t)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev).astype(v.dtype)
 
 

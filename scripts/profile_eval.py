@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--geometry", default="charades", choices=["charades", "tacos"])
     ap.add_argument("--kernels", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -32,7 +34,9 @@ def main():
         B, Lv, Dv, Lw, Dt = 128, 194, 2818, 16, 512
     else:
         B, Lv, Dv, Lw, Dt = 16, 600, 4098, 16, 300
-    cfg, model, jb, neg = bench.make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    cfg, model, jb, neg = bench.make_model_and_batch(
+        B, Lv, Dv, Lw, Dt, dtype="bfloat16" if args.bf16 else "float32"
+    )
     fwd_args = (jb["video_feat"], jb["video_mask"], jb["words_feat"],
                 jb["words_mask"], jb["sentence_feat"], neg)
     kw = dict(
@@ -41,6 +45,12 @@ def main():
         ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
     )
     params = bench.shape_only_params(model, fwd_args, kw)
+    if args.dedup:
+        kw.update(
+            video_feat_g=jb["video_feat_g"], video_mask_g=jb["video_mask_g"],
+            video_slot=jb["video_slot"],
+        )
+        fwd_args = (None, *fwd_args[1:])
 
     @jax.jit
     def fn(p, *a):

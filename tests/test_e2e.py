@@ -94,6 +94,44 @@ def test_eval_cli_from_run_dir(trained_run):
     assert n > 0
 
 
+def test_bf16_eval_metric_parity(trained_run):
+    """The bf16 eval compute mode (the TPU serving headline in bench.py) must
+    not move the metrics: same trained checkpoint evaluated fp32 vs bf16,
+    brief metrics within 1 sample (this synthetic test split quantizes R1 at
+    2 pts/sample) and typically identical."""
+    root, cfg_path, opt = trained_run
+    import json as _json
+
+    from mesm_tpu.evaluate import inference
+
+    with open(cfg_path) as f:
+        base = _json.load(f)
+    briefs = {}
+    for dt in ("float32", "bfloat16"):
+        eval_cfg = {
+            "is_inference": True,
+            "inference_id": f"bf16par_{dt}",
+            "inference_result_dir": os.path.join(root, f"inference_{dt}"),
+            "trained_result_dir": opt.result_dir,
+            "num_workers": 2,
+            "resume_all": False,
+            "max_ts_val": 150,
+            "compute_dtype": dt,
+            "ann_path": base["ann_path"],
+            "feat_files": base["feat_files"],
+            "bpe_path": base.get("bpe_path", ""),
+            "text_model_path": base["text_model_path"],
+        }
+        p = os.path.join(root, f"config_eval_{dt}.json")
+        with open(p, "w") as f:
+            _json.dump(eval_cfg, f)
+        metrics, _ = inference(["--config_file", p])
+        briefs[dt] = metrics["brief"]
+    for key in ("MR-full-R1@0.5", "MR-full-R1@0.7", "MR-full-miou"):
+        a, b = briefs["float32"][key], briefs["bfloat16"][key]
+        assert abs(a - b) <= 2.1, f"{key}: fp32 {a} vs bf16 {b}"
+
+
 def test_torch_export_import_roundtrip(trained_run):
     """Export the trained params to reference naming and bring them back."""
     root, cfg_path, opt = trained_run
