@@ -47,8 +47,13 @@ def pallas_mode() -> str:
     return _MODE
 
 
-def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0) -> bool:
-    """Shape-aware dispatch decision for the current mode."""
+def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
+    """Shape- and dtype-aware dispatch decision for the current mode.
+
+    bf16 halves the XLA chain's logits HBM traffic — the kernel's whole
+    advantage — so in bf16 the kernel no longer wins even at TACoS geometry
+    (measured: 19.9 ms XLA vs 20.4 ms kernel step busy at 16x8x601x601 bf16;
+    fp32: 32.0 vs 23.1 in the kernel's favor). auto = fp32 + long + batched."""
     if _MODE == "off":
         return False
     try:
@@ -57,9 +62,12 @@ def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0) -> bool:
         on_tpu = False
     if _MODE == "on":
         return True
-    # auto: only the measured-win regime, and only on real TPU
+    import jax.numpy as jnp
+
+    fp32 = dtype is None or dtype == jnp.float32
     return (
         on_tpu
+        and fp32
         and min(Lq, Lk) >= AUTO_MIN_LEN
         and B >= AUTO_MIN_BATCH
     )

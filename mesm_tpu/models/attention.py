@@ -88,7 +88,7 @@ def dispatch_attention_core(q, k, v, **kwargs):
     (see mesm_tpu/kernels.py for the policy), else the XLA core."""
     from mesm_tpu import kernels
 
-    if kernels.use_pallas_attention(q.shape[0], q.shape[1], k.shape[1]):
+    if kernels.use_pallas_attention(q.shape[0], q.shape[1], k.shape[1], q.dtype):
         from mesm_tpu.ops.attention_pallas import fused_attention
 
         return fused_attention(q, k, v, **kwargs)
