@@ -1,4 +1,11 @@
-from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    seq_batch_sharding,
+    shard_batch_seq,
+)
 from .step import (
     TrainState,
     build_optimizer,

@@ -47,3 +47,32 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put every array in the batch with its row axis sharded."""
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# sequence-axis sharding (long-video stretch goal, SURVEY.md section 7)
+# ---------------------------------------------------------------------------
+
+# batch keys whose SECOND axis is the video-length axis — these get
+# P(data, model) so TACoS-length frames spread over the `model` axis; XLA's
+# SPMD partitioner inserts the collectives (all-gathers around the DETR
+# self-attention, reduce-scatters in the backward pass).
+_SEQ_AXIS_KEYS = frozenset({
+    "video_feat", "video_mask", "clip_mask", "saliency_label",
+    "video_feat_g", "video_mask_g", "ss_video_feat", "ss_video_mask",
+})
+
+
+def seq_batch_sharding(mesh: Mesh, key: str) -> NamedSharding:
+    if key in _SEQ_AXIS_KEYS:
+        return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch_seq(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a batch with rows over `data` AND video length over `model`.
+
+    Use with make_mesh(n, model_parallel=k>1); requires every video-length
+    axis to be divisible by k (the collate's bucket sizes are multiples of 8,
+    so k in {2, 4, 8} works for the standard buckets)."""
+    return {k: jax.device_put(v, seq_batch_sharding(mesh, k)) for k, v in batch.items()}
