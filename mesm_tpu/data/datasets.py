@@ -204,6 +204,20 @@ class BaseDataset:
     def max_group_size(self) -> int:
         return max(len(e["video_id"]) for e in self.merged_data)
 
+    def estimated_length(self, index: int) -> int:
+        """Estimated clip count of an entry's video WITHOUT reading features:
+        duration / clip_len capped at max_video_l. Drives eval length-sorted
+        batching and the data-driven padding buckets; the collate still pads
+        to the ACTUAL batch max, so an estimate error only costs padding.
+        Fractional indexing (clip_len == -1, TACoS) has no duration->clips
+        mapping — fall back to the cap (no sorting benefit there)."""
+        if self.clip_len == -1:
+            return self.max_video_l
+        dur = float(self.merged_data[index]["duration"][0])
+        import math as _math
+
+        return min(max(int(_math.ceil(dur / self.clip_len)), 1), self.max_video_l)
+
     def item_rng(self, index: int) -> np.random.Generator:
         """Per-item generator, deterministic regardless of loader thread
         scheduling: keyed on (seed, index, visit-count-of-index). Mirrors the

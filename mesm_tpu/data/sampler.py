@@ -29,6 +29,11 @@ class RowBudgetBatcher:
         # >0: also cap the ENTRY (video) count per batch — required by the
         # deduplicated-video collate whose group array has a static capacity
         self.max_entries = max_entries
+        # eval: order entries by estimated video length so batches pad to
+        # their LOCAL maximum (with the collate's buckets, most batches land
+        # in a tight bucket instead of the global cap). Metrics are per-query
+        # and order-independent, so this is value-neutral.
+        self.sort_by_length = False
         self._epoch = 0
         max_rows = dataset.max_group_size()
         if max_rows > row_capacity:
@@ -45,6 +50,8 @@ class RowBudgetBatcher:
         if self.shuffle:
             self.rng.seed(self._epoch)
             self.rng.shuffle(order)
+        elif self.sort_by_length and hasattr(self.dataset, "estimated_length"):
+            order.sort(key=self.dataset.estimated_length)
         self._epoch += 1
         batch: List[int] = []
         used = 0

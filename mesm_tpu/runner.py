@@ -106,16 +106,19 @@ def make_batch_spec(opt, dataset, for_eval: bool) -> BatchSpec:
     buckets: tuple = ()
     n_buckets = getattr(opt, "eval_len_buckets", 1) or 1
     if for_eval and n_buckets > 1:
-        # fractional buckets of max_video_l, rounded up to multiples of 8
-        # (TPU sublane alignment); most real videos are far below the cap
-        edges = sorted(
-            {
-                min(-8 * (-(opt.max_video_l * i) // (8 * n_buckets)), opt.max_video_l)
-                for i in range(1, n_buckets)
-            }
-            | {opt.max_video_l}
-        )
-        buckets = tuple(e for e in edges if e > 0)
+        # data-driven buckets: quantiles of the ESTIMATED video lengths
+        # (duration/clip_len), rounded up to multiples of 8 (TPU sublane
+        # alignment), last bucket always the hard cap. Real charades videos
+        # average ~29 clips against a 194 cap (Charades_v1 length stats), so
+        # distribution-shaped buckets beat fixed fractions of the cap. The
+        # sorted eval batcher below makes most batches land in a tight bucket.
+        ests = sorted(dataset.estimated_length(i) for i in range(len(dataset)))
+        edges = set()
+        for j in range(1, n_buckets):
+            q = ests[min(int(len(ests) * j / n_buckets), len(ests) - 1)]
+            edges.add(min(-8 * (-q // 8), opt.max_video_l))
+        edges.add(opt.max_video_l)
+        buckets = tuple(e for e in sorted(edges) if e > 0)
     return BatchSpec(
         row_capacity=row_cap,
         max_video_l=opt.max_video_l,
@@ -155,6 +158,9 @@ def build_loaders(opt, vocab=None, splits: str = "train+val"):
                 ds, spec.row_capacity, shuffle=False, drop_single_group=False,
                 max_entries=spec.video_groups_cap,
             )
+            # length-sorted eval: batches pad to their local max; with the
+            # quantile buckets above most batches skip the global cap
+            batcher.sort_by_length = len(spec.video_buckets) > 1
             val_loaders[split] = Loader(
                 ds, batcher, make_collate(spec), num_workers=min(opt.num_workers, 4)
             )
