@@ -95,3 +95,45 @@ class Loader:
 
     def __len__(self) -> int:
         return len(self.batcher)
+
+
+def device_feed(loader, compute_dtype=None, depth: int = 2):
+    """Stage host batches onto the device ahead of consumption.
+
+    Yields (jb, batch, meta): `jb` device arrays (dispatched asynchronously,
+    so the transfer of batch N+1 overlaps the step on batch N — double
+    buffering at the host->device boundary), `batch` the original numpy
+    arrays for host-side decoding. When `compute_dtype` is bfloat16, large
+    float feature tensors (ndim >= 3) are cast to bf16 BEFORE the transfer —
+    the model casts them anyway, and feature bytes dominate H2D traffic.
+
+    The qvh per-group SS video expansion (collate stores each group's video
+    once) happens here on host indices, mirroring train.py/evaluate.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cast = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
+
+    def put(batch):
+        jb = {}
+        for k, v in batch.items():
+            a = np.asarray(v)
+            if cast and a.dtype == np.float32 and a.ndim >= 3:
+                a = a.astype(jnp.bfloat16)
+            jb[k] = jax.device_put(a)
+        if "ss_video_feat_groups" in jb:
+            jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
+            jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
+            del jb["ss_group_slot"]
+        return jb
+
+    from collections import deque
+
+    buf: deque = deque()
+    for batch, meta in loader:
+        buf.append((put(batch), batch, meta))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

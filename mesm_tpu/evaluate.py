@@ -36,13 +36,11 @@ logging.basicConfig(
 
 def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=None):
     """Run the jitted eval step over a loader and decode submissions on host."""
+    from .data.pipeline import device_feed
+    from .runner import compute_dtype_from_opt
+
     mr_res = []
-    for batch, meta in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        if "ss_video_feat_groups" in jb:
-            jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
-            jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
-            del jb["ss_group_slot"]
+    for jb, batch, meta in device_feed(loader, compute_dtype_from_opt(opt)):
         preds, losses = eval_step(params, frozen, jb, rng)
         preds = jax.device_get(preds)
         if loss_meters is not None and losses:

@@ -1,0 +1,197 @@
+"""End-to-end eval-EPOCH benchmark: HDF5 -> loader -> jitted step -> host
+decode -> metric suite, at full model scale on realistic charades geometry.
+
+Builds (and caches) a production-shaped synthetic dataset root — 500 videos,
+~2.4 sentences each, lengths drawn from the real Charades_v1 distribution
+(mean 28.7 s, p90 36, max 72; measured from the public annotation CSV),
+2816-d features + TEF, hidden 256 model — runs one warm-up epoch (compiles
+the per-bucket eval steps) and times the second epoch per stage.
+
+Run on the TPU host: python scripts/bench_eval_epoch.py
+Prints one JSON line {"metric": "eval_epoch_rows_per_sec", ...} plus a stage
+breakdown on stderr; also appends to BENCH_EXTRA.json when present.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DV = 2816
+ROOT = os.environ.get("MESM_E2E_ROOT", "/tmp/mesm_e2e_root")
+
+
+def log(msg):
+    print(f"[bench-epoch] {msg}", file=sys.stderr, flush=True)
+
+
+def build_root(root: str, n_videos: int = 500, seed: int = 0) -> str:
+    import h5py
+
+    ann = os.path.join(root, "annotations")
+    os.makedirs(ann, exist_ok=True)
+    marker = os.path.join(root, f"config_{n_videos}.json")
+    if os.path.exists(marker):
+        return marker
+    rng = np.random.default_rng(seed)
+    vids = [f"V{i:04d}" for i in range(n_videos)]
+    # real Charades_v1 length stats: mean 28.7 s, std ~8, max 72
+    durations = {v: float(np.clip(rng.normal(28.7, 8.0), 6, 72)) for v in vids}
+
+    words = [f"w{i}" for i in range(40)]
+    lines = []
+    qid = 0
+    for i, v in enumerate(vids):
+        for j in range((i % 3) + 1):  # 1..3 sentences per video (avg 2)
+            d = durations[v]
+            st = float(rng.uniform(0, d * 0.6))
+            ed = float(rng.uniform(st + 1, d))
+            sent = " ".join(rng.choice(words, 6))
+            lines.append(f"{v} {st:.2f} {ed:.2f}##{sent}\n")
+            qid += 1
+    with open(os.path.join(ann, "charades_sta_test.txt"), "w") as f:
+        f.write("".join(lines))
+    with open(os.path.join(ann, "charades_sta_train.txt"), "w") as f:
+        f.write("".join(lines[:8]))
+    for fname in ["Charades_v1_train.csv", "Charades_v1_test.csv"]:
+        rows = ["id,length\n"] + [f"{v},{durations[v]}\n" for v in vids]
+        with open(os.path.join(ann, fname), "w") as f:
+            f.write("".join(rows))
+    with open(os.path.join(ann, "GloVe_tokenized_count.txt"), "w") as f:
+        for k, w in enumerate(words):
+            f.write(f"{w} {k + 1} 5\n")
+
+    log(f"writing {n_videos}-video feature HDF5 (~{n_videos * 30 * DV * 4 / 1e6:.0f} MB)")
+    with h5py.File(os.path.join(root, "feat.hdf5"), "w") as f:
+        for v in vids:
+            L = max(int(round(durations[v])), 4)  # clip_len 1 -> 1 clip/s
+            f.create_dataset(v, data=rng.normal(size=(L, DV)).astype(np.float32))
+
+    glove_path = os.path.join(root, "glove.txt")
+    with open(glove_path, "w") as f:
+        for w in words:
+            vec = rng.normal(size=300).astype(np.float32)
+            f.write(w + " " + " ".join(f"{x:.4f}" for x in vec) + "\n")
+
+    config = {
+        "exp_id": "bench-epoch", "dataset_name": "charades", "ann_path": ann,
+        "feat_files": [os.path.join(root, "feat.hdf5")], "use_tef": True,
+        "clip_len": 1, "max_words_l": 16, "max_video_l": 194,
+        "tokenizer_type": "GloVeSimple", "load_vocab_pkl": False,
+        "normalize_video": True, "normalize_txt": True, "contra_samples": 2,
+        "batch_size": 32, "eval_batch_size": 128, "num_workers": 4,
+        "vocab_size": 40, "max_windows": 5, "max_gather_size": -1,
+        "text_model_path": glove_path, "share_MLP": True, "hidden_dim": 256,
+        "dropout": 0.1, "nheads": 8, "dim_feedforward": 1024,
+        "num_recfw_layers": 2, "t2v_layers": 2, "enc_layers": 2,
+        "dec_layers": 2, "input_dropout": 0.5, "v_feat_dim": DV,
+        "t_feat_dim": 300, "num_queries": 10, "n_input_proj": 2,
+        "rec_fw": True, "rec_ss": True, "num_recss_layers": 4,
+        "aux_loss": True, "rank_coef": 12, "loss_span_coef": 10,
+        "loss_giou_coef": 1, "loss_label_coef": 4, "loss_saliency_coef": 4,
+        "loss_recfw_coef": 0.1, "loss_recss_coef": 0.1, "eos_coef": 0.1,
+        "use_triplet": False, "iou_gamma": 0.9, "recss_tau": 0.5,
+        "results_root": os.path.join(root, "results"), "seed": 2018,
+        "max_ts_val": 200, "compute_dtype": "bfloat16",
+    }
+    with open(marker, "w") as f:
+        json.dump(config, f, indent=1)
+    return marker
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cfg_path = build_root(ROOT)
+    from mesm_tpu.config import BaseOptions
+    import mesm_tpu.runner as R
+    from mesm_tpu.evaluate import compute_mr_results
+    from mesm_tpu.metrics import eval_submission
+    from mesm_tpu.parallel.step import make_eval_step
+    from mesm_tpu.runner import compute_dtype_from_opt
+
+    opt = BaseOptions().parse(["--config_file", cfg_path, "--exp_id", "bench"])
+    compute_dtype = compute_dtype_from_opt(opt)
+    vocab = R.get_vocab(opt)
+    _, _, val_loaders, _ = R.build_loaders(opt, vocab, splits="val")
+    split, loader = next(iter(val_loaders.items()))
+    model = R.build_model(opt, compute_dtype)
+    encode_text, frozen = R.build_text_encoder(opt, vocab, compute_dtype)
+
+    # random full-scale params (throughput does not depend on values)
+    batch0, _ = next(iter(loader))
+    jb0 = {k: jnp.asarray(v) for k, v in batch0.items()}
+    wf, wm, sf = encode_text(frozen, jb0)
+    import jax.random as jrandom
+
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jrandom.PRNGKey(0), "dropout": jrandom.PRNGKey(1),
+             "mask_words": jrandom.PRNGKey(2)},
+            jb0.get("video_feat"), jb0["video_mask"], wf, wm, sf,
+            (jnp.arange(wm.shape[0], dtype=jnp.int32) + 1) % wm.shape[0],
+            is_training=False, deterministic=True,
+            clip_mask=jb0["clip_mask"],
+            ss_sent_idx=jb0["ss_sent_idx"], ss_sent_mask=jb0["ss_sent_mask"],
+            ss_own_pos=jb0["ss_own_pos"],
+            video_feat_g=jb0.get("video_feat_g"),
+            video_mask_g=jb0.get("video_mask_g"),
+            video_slot=jb0.get("video_slot"),
+        )
+    )
+    rng_np = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(rng_np.normal(0, 0.02, s.shape).astype(np.float32), s.dtype),
+        variables["params"],
+    )
+    eval_step = make_eval_step(model, None, encode_text, with_loss=False)
+    opt.sort_results = True
+
+    n_rows = sum(len(e["video_id"]) for e in loader.dataset.merged_data)
+    for epoch in range(2):
+        label = "warm-up (compiles per bucket)" if epoch == 0 else "timed"
+        t0 = time.perf_counter()
+        submission = compute_mr_results(
+            params, frozen, eval_step, loader, opt, jrandom.PRNGKey(0)
+        )
+        t_fwd = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        metrics = eval_submission(
+            submission, loader.dataset.data, dataset_name=opt.dataset_name,
+            num_workers=opt.num_workers,
+        )
+        t_metrics = time.perf_counter() - t0
+        log(f"{label}: pipeline+step+decode {t_fwd:.2f}s, metrics {t_metrics:.2f}s, "
+            f"{n_rows} rows")
+    total = t_fwd + t_metrics
+    print(json.dumps({
+        "metric": "eval_epoch_rows_per_sec",
+        "value": round(n_rows / total, 2),
+        "unit": "rows/s",
+        "detail": {
+            "rows": n_rows,
+            "pipeline_step_decode_s": round(t_fwd, 3),
+            "metrics_s": round(t_metrics, 3),
+            "R1@0.5": metrics["brief"]["MR-full-R1@0.5"],
+        },
+    }))
+    extra_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_EXTRA.json")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            extra = json.load(f)
+        extra["eval_epoch_rows_per_sec"] = round(n_rows / total, 2)
+        extra["eval_epoch_pipeline_s"] = round(t_fwd, 3)
+        extra["eval_epoch_metrics_s"] = round(t_metrics, 3)
+        with open(extra_path, "w") as f:
+            json.dump(extra, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
