@@ -156,6 +156,12 @@ class BaseOptions:
                        help="number of video-length buckets at eval; each "
                             "batch pads to the smallest fitting bucket "
                             "(one jit specialization per bucket). 1 = off")
+        p.add_argument("--scan_layers", type=str, default="off",
+                       choices=["on", "off"],
+                       help="fold homogeneous layer stacks into nn.scan "
+                            "bodies (stacked params): smaller traced graph / "
+                            "faster compiles, same math. Checkpoint layout "
+                            "differs; must match between train and eval")
         p.add_argument("--dedup_video", type=str, default="on",
                        choices=["on", "off"],
                        help="at eval, project each unique video once and "

@@ -181,6 +181,48 @@ def build_mapping(cfg: MESMConfig) -> List[MapEntry]:
     return m
 
 
+def _scanned_stacks(cfg: MESMConfig):
+    """(tree path, num layers) of every stack folded by cfg.scan_layers.
+    Stacks of 1 layer stay unrolled (T2VEncoder/TransformerEncoder fall back
+    to the loop there)."""
+    out = []
+    if cfg.rec_fw and cfg.num_recfw_layers > 1:
+        out.append((("enhance_encoder",), cfg.num_recfw_layers))
+    if cfg.t2v_layers > 1:
+        out.append((("t2v_encoder",), cfg.t2v_layers))
+    if cfg.rec_ss and cfg.num_recss_layers > 1:
+        out.append((("ss_reconstructor", "recon_trans"), cfg.num_recss_layers))
+    if cfg.enc_layers > 1:
+        out.append((("transformer", "encoder"), cfg.enc_layers))
+    return out
+
+
+def stack_scanned(params: Dict, cfg: MESMConfig) -> Dict:
+    """Per-layer 'layer{i}' subtrees -> nn.scan layout 'layers/layer' with a
+    leading num_layers axis. In-place on the (nested dict) tree; returns it."""
+    import jax
+
+    for path, n in _scanned_stacks(cfg):
+        node = _get_path(params, path)
+        layers = [node.pop(f"layer{i}") for i in range(n)]
+        node["layers"] = {
+            "layer": jax.tree.map(lambda *xs: np.stack(xs), *layers)
+        }
+    return params
+
+
+def unstack_scanned(params: Dict, cfg: MESMConfig) -> Dict:
+    """Inverse of stack_scanned (scan layout -> per-layer subtrees)."""
+    import jax
+
+    for path, n in _scanned_stacks(cfg):
+        node = _get_path(params, path)
+        stacked = node.pop("layers")["layer"]
+        for i in range(n):
+            node[f"layer{i}"] = jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+    return params
+
+
 def _set_path(tree: Dict, path: Tuple[str, ...], value):
     node = tree
     for p in path[:-1]:
@@ -231,11 +273,19 @@ def torch_state_dict_to_params(state_dict: Dict, cfg: MESMConfig, strict: bool =
     ]
     if strict and leftovers:
         raise KeyError(f"unmapped torch keys: {leftovers[:10]} (+{max(len(leftovers)-10,0)})")
+    if getattr(cfg, "scan_layers", False):
+        params = stack_scanned(params, cfg)
     return params
 
 
 def params_to_torch_state_dict(params: Dict, cfg: MESMConfig) -> Dict:
     """flax param tree -> reference-named numpy state dict (torch-loadable)."""
+    if getattr(cfg, "scan_layers", False):
+        import jax
+
+        # tree_map rebuilds the dict containers, so the in-place unstack
+        # below cannot mutate the caller's tree
+        params = unstack_scanned(jax.tree.map(np.asarray, params), cfg)
     out = {}
     for tkey, fpath, transpose in build_mapping(cfg):
         try:

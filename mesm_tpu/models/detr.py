@@ -99,6 +99,23 @@ class TransformerEncoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
+class _EncoderScanBody(nn.Module):
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    activation: str
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, carry, valid_mask, pos, deterministic):
+        x = TransformerEncoderLayer(
+            self.d_model, self.num_heads, self.dim_feedforward, self.dropout,
+            self.activation, dtype=self.dtype, name="layer",
+        )(carry, valid_mask, pos, deterministic=deterministic)
+        return x, None
+
+
 class TransformerEncoder(nn.Module):
     d_model: int
     num_heads: int
@@ -106,10 +123,24 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     activation: str = "prelu"
+    scan: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, src, valid_mask, pos, *, deterministic: bool = True):
+        if self.scan and self.num_layers > 1:
+            body = nn.scan(
+                _EncoderScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers,
+            )(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.dropout, self.activation, self.dtype, name="layers",
+            )
+            x, _ = body(src, valid_mask, pos, deterministic)
+            return x
         x = src
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
@@ -302,6 +333,7 @@ class Transformer(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     activation: str = "prelu"
+    scan: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -334,6 +366,7 @@ class Transformer(nn.Module):
             self.dim_feedforward,
             self.dropout,
             self.activation,
+            scan=self.scan,
             dtype=self.dtype,
             name="encoder",
         )(src, full_mask, pos_embed, deterministic=deterministic)

@@ -68,6 +68,10 @@ class MESMConfig:
     aux_loss: bool = True
     num_classes: int = 1114  # MLM head classes (vocab_size + 3 for CLIP, +1 GloVe)
     activation: str = "prelu"
+    # fold homogeneous layer stacks (t2v/enhance/recss/encoder) into nn.scan
+    # bodies with stacked params — same math, smaller traced graph (compile
+    # time); convert.py stacks/unstacks checkpoints between the layouts
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
 
@@ -94,6 +98,7 @@ class SegSenRecon(nn.Module):
             c.activation,
             two_mlp=False,
             xavier_init=False,
+            scan=c.scan_layers,
             dtype=c.dtype,
             name="recon_trans",
         )
@@ -167,6 +172,7 @@ class MESM(nn.Module):
             c.dropout,
             c.activation,
             two_mlp=not c.share_mlp,
+            scan=c.scan_layers,
             dtype=c.dtype,
             name="enhance_encoder",
         )
@@ -177,6 +183,7 @@ class MESM(nn.Module):
             c.dim_feedforward,
             c.dropout,
             c.activation,
+            scan=c.scan_layers,
             dtype=c.dtype,
             name="t2v_encoder",
         )
@@ -188,6 +195,7 @@ class MESM(nn.Module):
             c.dim_feedforward,
             c.dropout,
             c.activation,
+            scan=c.scan_layers,
             dtype=c.dtype,
             name="transformer",
         )

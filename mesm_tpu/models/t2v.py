@@ -126,9 +126,41 @@ class T2VLayer(nn.Module):
         return x
 
 
+class _T2VScanBody(nn.Module):
+    """nn.scan body: carry = the refined video stream; everything else is
+    broadcast. Produces the stacked-parameter layout params['layers']['layer']
+    with a leading num_layers axis (convert.py stacks/unstacks)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    activation: str
+    two_mlp: bool
+    xavier_init: bool
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, carry, src_txt, txt_valid_mask, pos_txt, pos_vid,
+                 vid_valid_mask, pair_factors, is_mlm, deterministic):
+        x = T2VLayer(
+            self.d_model, self.num_heads, self.dim_feedforward, self.dropout,
+            self.activation, two_mlp=self.two_mlp, xavier_init=self.xavier_init,
+            dtype=self.dtype, name="layer",
+        )(
+            src_txt, carry, txt_valid_mask, pos_txt, pos_vid, vid_valid_mask,
+            pair_factors, is_mlm=is_mlm, deterministic=deterministic,
+        )
+        return x, None
+
+
 class T2VEncoder(nn.Module):
     """Stack of T2VLayers; the video stream is refined, text is re-read every
-    layer (reference T2V_TransformerEncoder, model/transformer.py:208-242)."""
+    layer (reference T2V_TransformerEncoder, model/transformer.py:208-242).
+
+    scan=True folds the homogeneous layers into one nn.scan body (stacked
+    params, ~1/num_layers the traced graph for this stack) — same math,
+    different compile footprint; see MESMConfig.scan_layers."""
 
     d_model: int
     num_heads: int
@@ -138,6 +170,7 @@ class T2VEncoder(nn.Module):
     activation: str = "prelu"
     two_mlp: bool = False
     xavier_init: bool = True
+    scan: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -154,6 +187,23 @@ class T2VEncoder(nn.Module):
         is_mlm: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.scan and self.num_layers > 1:
+            body = nn.scan(
+                _T2VScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers,
+            )(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.dropout, self.activation, self.two_mlp, self.xavier_init,
+                self.dtype, name="layers",
+            )
+            x, _ = body(
+                src_vid, src_txt, txt_valid_mask, pos_txt, pos_vid,
+                vid_valid_mask, pair_factors, is_mlm, deterministic,
+            )
+            return x
         x = src_vid
         for i in range(self.num_layers):
             x = T2VLayer(

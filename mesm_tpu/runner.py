@@ -408,6 +408,7 @@ def build_model_config(opt, compute_dtype=jnp.float32) -> MESMConfig:
         share_mlp=opt.share_MLP,
         aux_loss=opt.aux_loss,
         num_classes=num_classes,
+        scan_layers=getattr(opt, "scan_layers", "off") == "on",
         dtype=compute_dtype,
     )
 
