@@ -172,6 +172,44 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
             }
     except Exception as e:  # cost_analysis is best-effort across backends
         log(f"[{label}] cost_analysis unavailable: {e}")
+
+    # dispatch-coalesced path (the shipped eval pipeline: evaluate.py groups
+    # K same-shape batches into one compiled dispatch via make_eval_step
+    # coalesce=K). Benched through the SAME shipped step builder. Amortizes
+    # this environment's ~1.4 ms per-dispatch host/relay latency across K
+    # batches; work per row is identical.
+    import jax.numpy as jnp
+    from mesm_tpu.parallel.step import make_eval_step
+
+    K = 8
+
+    def encode_passthrough(frozen, b):
+        return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+    # mirror the shipped device feed: per-row video dropped on the dedup
+    # path, float feature tensors staged as bf16
+    jb_eval = {k: v for k, v in jb.items() if k != "video_feat"}
+    if dtype == "bfloat16":
+        jb_eval = {
+            k: v.astype(jnp.bfloat16)
+            if v.dtype == jnp.float32 and v.ndim >= 3 else v
+            for k, v in jb_eval.items()
+        }
+    step_k = make_eval_step(model, None, encode_passthrough, with_loss=False, coalesce=K)
+    log(f"[{label}] compiling + measuring coalesced path ({K} batches/dispatch)")
+    rng0 = jax.random.PRNGKey(0)
+    r = step_k(params, {}, (jb_eval,) * K, rng0)
+    jax.block_until_ready(r)
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = step_k(params, {}, (jb_eval,) * K, rng0)
+    jax.block_until_ready(r)
+    fast_k = B * K * iters / (time.perf_counter() - t0)
+    log(f"[{label}] coalesced x{K}: {fast_k:.1f} rows/s "
+        f"(single-dispatch: {fast:.1f})")
+    fast = max(fast, fast_k)
+
     if not with_baseline:
         return fast, None
 

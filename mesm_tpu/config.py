@@ -156,6 +156,11 @@ class BaseOptions:
                        help="number of video-length buckets at eval; each "
                             "batch pads to the smallest fitting bucket "
                             "(one jit specialization per bucket). 1 = off")
+        p.add_argument("--eval_coalesce", type=int, default=-1,
+                       help="eval batches per device dispatch: K same-shape "
+                            "batches run through one compiled program "
+                            "(value-identical; amortizes fixed per-dispatch "
+                            "host latency). -1 = auto (8 on TPU, 1 on CPU)")
         p.add_argument("--scan_layers", type=str, default="off",
                        choices=["on", "off"],
                        help="fold homogeneous layer stacks into nn.scan "
@@ -197,7 +202,8 @@ class BaseOptions:
                     "feat_files", "bpe_path", "text_model_path",
                     "trained_result_dir", "inference_id", "inference_result_dir",
                     "n_devices", "compute_dtype", "pallas_attention", "cache_text",
-                    "eval_len_buckets", "dedup_video", "row_capacity"}
+                    "eval_len_buckets", "dedup_video", "row_capacity",
+                    "eval_coalesce"}
             for key, value in saved.items():
                 if key not in keep:
                     setattr(opt, key, value)

@@ -34,41 +34,91 @@ logging.basicConfig(
 )
 
 
+def _decode_batch(preds, batch, meta, opt, mr_res):
+    """Decode one host-side prediction dict into submission rows."""
+    n = meta["n_rows"]
+    scores = np.asarray(preds["scores"])[:n]  # (n, nq)
+    spans = np.asarray(span_cxw_to_xx(preds["pred_spans"]))[:n]  # (n, nq, 2)
+    sal = np.asarray(preds["saliency_scores"])[:n]
+    valid_len = np.asarray(batch["video_mask"])[:n].sum(1)
+    for i in range(n):
+        dur = meta["duration"][i]
+        ranked = np.concatenate(
+            [spans[i] * dur, scores[i][:, None]], axis=1
+        ).tolist()
+        if opt.sort_results:
+            ranked = sorted(ranked, key=lambda r: r[2], reverse=True)
+        ranked = [[float(f"{v:.4f}") for v in row] for row in ranked]
+        mr_res.append(
+            dict(
+                qid=meta["qid"][i],
+                query=meta["sentence"][i],
+                vid=meta["video_id"][i],
+                pred_relevant_windows=ranked,
+                pred_saliency_scores=sal[i, : int(valid_len[i])].tolist(),
+            )
+        )
+
+
+def _batch_signature(jb):
+    return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in jb.items()))
+
+
 def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=None):
-    """Run the jitted eval step over a loader and decode submissions on host."""
+    """Run the jitted eval step over a loader and decode submissions on host.
+
+    When eval_step was built with coalesce=K (make_eval_step), consecutive
+    same-shape batches are grouped K at a time into one device dispatch
+    (remainder groups are padded by repeating the last batch; padding outputs
+    are discarded). Length-sorted bucketing (data/sampler.py) keeps shapes
+    consecutive, so groups almost always fill."""
     from .data.pipeline import device_feed
     from .runner import compute_dtype_from_opt
 
     mr_res = []
-    for jb, batch, meta in device_feed(loader, compute_dtype_from_opt(opt)):
-        preds, losses = eval_step(params, frozen, jb, rng)
-        preds = jax.device_get(preds)
+    coalesce = getattr(eval_step, "coalesce", 1)
+
+    def record_losses(losses):
         if loss_meters is not None and losses:
             for k, v in losses.items():
                 loss_meters[k].update(float(v))
 
-        n = meta["n_rows"]
-        scores = np.asarray(preds["scores"])[:n]  # (n, nq)
-        spans = np.asarray(span_cxw_to_xx(preds["pred_spans"]))[:n]  # (n, nq, 2)
-        sal = np.asarray(preds["saliency_scores"])[:n]
-        valid_len = np.asarray(batch["video_mask"])[:n].sum(1)
-        for i in range(n):
-            dur = meta["duration"][i]
-            ranked = np.concatenate(
-                [spans[i] * dur, scores[i][:, None]], axis=1
-            ).tolist()
-            if opt.sort_results:
-                ranked = sorted(ranked, key=lambda r: r[2], reverse=True)
-            ranked = [[float(f"{v:.4f}") for v in row] for row in ranked]
-            mr_res.append(
-                dict(
-                    qid=meta["qid"][i],
-                    query=meta["sentence"][i],
-                    vid=meta["video_id"][i],
-                    pred_relevant_windows=ranked,
-                    pred_saliency_scores=sal[i, : int(valid_len[i])].tolist(),
-                )
-            )
+    if coalesce <= 1:
+        for jb, batch, meta in device_feed(loader, compute_dtype_from_opt(opt)):
+            preds, losses = eval_step(params, frozen, jb, rng)
+            preds = jax.device_get(preds)
+            record_losses(losses)
+            _decode_batch(preds, batch, meta, opt, mr_res)
+    else:
+        pend: list = []  # (jb, batch, meta) awaiting a full group
+        pend_sig = None
+
+        def flush():
+            nonlocal pend, pend_sig
+            if not pend:
+                return
+            jbs = [p[0] for p in pend]
+            real = len(jbs)
+            while len(jbs) < coalesce:  # pad by repeating (outputs discarded)
+                jbs.append(jbs[-1])
+            preds, losses = eval_step(params, frozen, tuple(jbs), rng)
+            preds = jax.device_get(preds)
+            losses = jax.device_get(losses) if losses else {}
+            for j in range(real):
+                preds_j = jax.tree.map(lambda a: a[j], preds)
+                record_losses(jax.tree.map(lambda a: a[j], losses))
+                _decode_batch(preds_j, pend[j][1], pend[j][2], opt, mr_res)
+            pend, pend_sig = [], None
+
+        for jb, batch, meta in device_feed(loader, compute_dtype_from_opt(opt)):
+            sig = _batch_signature(jb)
+            if pend and sig != pend_sig:
+                flush()
+            pend.append((jb, batch, meta))
+            pend_sig = sig
+            if len(pend) == coalesce:
+                flush()
+        flush()
 
     post = SpanPostProcessor(
         clip_length=opt.clip_len,
@@ -166,7 +216,10 @@ def inference(args=None):
         for vl in val_loaders.values():
             R.cache_text_features(vl.dataset, encode_text, frozen)
 
-    eval_step = make_eval_step(model, None, encode_text, with_loss=False)
+    eval_step = make_eval_step(
+        model, None, encode_text, with_loss=False,
+        coalesce=R.eval_coalesce_from_opt(opt),
+    )
     results = {}
     for split, loader in val_loaders.items():
         save_name = f"{opt.dataset_name}_{split}_test_submission.jsonl"

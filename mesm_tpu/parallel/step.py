@@ -141,12 +141,28 @@ def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, 
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: EncodeTextFn, with_loss: bool):
+def make_eval_step(
+    model,
+    ccfg: Optional[CriterionConfig],
+    encode_text_fn: EncodeTextFn,
+    with_loss: bool,
+    coalesce: int = 1,
+):
     """Returns jitted eval_step(params, frozen_text, batch, rng) -> preds[, losses].
 
     Predictions stay on device as fixed-shape arrays; the host pulls one
     consolidated transfer per batch (vs the reference's per-tensor
     .cpu().tolist() in eval.py:64-98).
+
+    coalesce=K > 1 returns a DISPATCH-COALESCED step instead: it takes a tuple
+    of K same-shape batch dicts and runs all K through one compiled program
+    (device-side stack + lax.scan over the leading axis), returning stacked
+    preds/losses with leading axis K. One host->device dispatch then covers K
+    batches — on hosts where each dispatch pays fixed latency (this
+    environment's remote relay: ~1.4 ms/call) that overhead is divided by K.
+    Values are identical to K per-batch calls (same rng per batch, as
+    compute_mr_results already passes). The returned callable carries a
+    `.coalesce` attribute so the eval driver knows the expected arity.
     """
 
     def eval_step(params, frozen_text, batch, rng):
@@ -180,5 +196,25 @@ def make_eval_step(model, ccfg: Optional[CriterionConfig], encode_text_fn: Encod
             return preds, losses
         return preds, {}
 
-    return jax.jit(eval_step)
+    if coalesce <= 1:
+        jitted = jax.jit(eval_step)
+
+        def fn(params, frozen_text, batch, rng):
+            return jitted(params, frozen_text, batch, rng)
+    else:
+        @jax.jit
+        def multi(params, frozen_text, batches, rng):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            return jax.lax.map(
+                lambda b: eval_step(params, frozen_text, b, rng), stacked
+            )
+
+        def fn(params, frozen_text, batches, rng):
+            assert len(batches) == coalesce, (
+                f"coalesced eval step expects {coalesce} batches, got {len(batches)}"
+            )
+            return multi(params, frozen_text, tuple(batches), rng)
+
+    fn.coalesce = max(1, coalesce)
+    return fn
 

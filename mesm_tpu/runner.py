@@ -454,3 +454,17 @@ def step_lr(base_lr: float, epoch: int, lr_drop: int, gamma: float) -> float:
 
 def compute_dtype_from_opt(opt):
     return jnp.bfloat16 if getattr(opt, "compute_dtype", "float32") == "bfloat16" else jnp.float32
+
+
+def eval_coalesce_from_opt(opt) -> int:
+    """Batches per eval dispatch (config.py --eval_coalesce; -1 = auto).
+
+    Auto enables coalescing only on accelerators, where fixed per-dispatch
+    host latency is worth amortizing; on CPU (tests, dryruns) the extra
+    compile of the scanned program buys nothing."""
+    k = int(getattr(opt, "eval_coalesce", 1) or 1)
+    if k == -1:
+        import jax
+
+        k = 8 if jax.default_backend() != "cpu" else 1
+    return max(1, k)

@@ -206,7 +206,10 @@ def train(args=None):
     train_step = make_train_step(model, ccfg, encode_text, tx)
     # eval during training also reports criterion losses (reference
     # train.py:156 -> eval.py:101-105); rec_fw is skipped at eval.
-    eval_step = make_eval_step(model, ccfg, encode_text, with_loss=True)
+    eval_step = make_eval_step(
+        model, ccfg, encode_text, with_loss=True,
+        coalesce=R.eval_coalesce_from_opt(opt),
+    )
 
     tb_writer = None
     try:

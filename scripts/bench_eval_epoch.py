@@ -151,7 +151,10 @@ def main():
         lambda s: jnp.asarray(rng_np.normal(0, 0.02, s.shape).astype(np.float32), s.dtype),
         variables["params"],
     )
-    eval_step = make_eval_step(model, None, encode_text, with_loss=False)
+    eval_step = make_eval_step(
+        model, None, encode_text, with_loss=False,
+        coalesce=R.eval_coalesce_from_opt(opt),
+    )
     opt.sort_results = True
 
     n_rows = sum(len(e["video_id"]) for e in loader.dataset.merged_data)

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--kernels", default="auto", choices=["auto", "on", "off"])
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--coalesce", type=int, default=1,
+                    help="trace the dispatch-coalesced eval step (K batches "
+                         "per dispatch via make_eval_step, as shipped)")
     args = ap.parse_args()
 
     import jax
@@ -52,13 +55,35 @@ def main():
         )
         fwd_args = (None, *fwd_args[1:])
 
-    @jax.jit
-    def fn(p, *a):
-        out = model.apply(
-            {"params": p}, *a,
-            is_training=False, deterministic=True, compute_neg=False, **kw,
+    if args.coalesce > 1:
+        import jax.numpy as jnp
+        from mesm_tpu.parallel.step import make_eval_step
+
+        def encode_passthrough(frozen, b):
+            return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+        jb_eval = {k: v for k, v in jb.items() if k != "video_feat"}
+        if args.bf16:
+            jb_eval = {
+                k: v.astype(jnp.bfloat16)
+                if v.dtype == jnp.float32 and v.ndim >= 3 else v
+                for k, v in jb_eval.items()
+            }
+        step_k = make_eval_step(
+            model, None, encode_passthrough, with_loss=False, coalesce=args.coalesce
         )
-        return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
+        batches = (jb_eval,) * args.coalesce
+
+        def fn(p, *a):
+            return step_k(p, {}, batches, jax.random.PRNGKey(0))
+    else:
+        @jax.jit
+        def fn(p, *a):
+            out = model.apply(
+                {"params": p}, *a,
+                is_training=False, deterministic=True, compute_neg=False, **kw,
+            )
+            return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
 
     bench.log("compiling")
     for _ in range(3):

@@ -1,0 +1,164 @@
+"""Dispatch-coalesced eval step: K same-shape batches per compiled dispatch.
+
+Coalescing must be value-identical to the per-batch loop (same rng is passed
+to every batch by compute_mr_results, so the scanned program reproduces each
+per-batch call bit-for-bit). Covers:
+  - make_eval_step(coalesce=K) vs K separate calls (preds and losses)
+  - compute_mr_results grouping: signature changes flush, remainder groups
+    pad by repeating the last batch and discard padding outputs
+"""
+from __future__ import annotations
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synth import make_batch
+from mesm_tpu.losses import CriterionConfig
+from mesm_tpu.models import MESM
+from mesm_tpu.models.mesm import MESMConfig
+from mesm_tpu.parallel.step import make_eval_step
+
+B, Lv, Dv, Lw, Dt, G = 6, 24, 32, 12, 20, 3
+NUM_CLASSES = 51
+
+
+def tiny_model():
+    cfg = MESMConfig(
+        hidden_dim=32,
+        v_feat_dim=Dv,
+        t_feat_dim=Dt,
+        nheads=4,
+        dim_feedforward=64,
+        num_queries=5,
+        max_words_l=Lw,
+        max_video_l=Lv,
+        num_classes=NUM_CLASSES,
+    )
+    return MESM(cfg)
+
+
+def encode_text(frozen, b):
+    return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+
+def device_batch(seed, Lv_=Lv):
+    rng = np.random.default_rng(seed)
+    batch = make_batch(rng, B=B, Lv=Lv_, Dv=Dv, Lw=Lw, Dt=Dt, G=G, n_groups=3)
+    batch["words_label"] = (batch["words_label"] % NUM_CLASSES).astype(np.int32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def init_params(model, jb):
+    return model.init(
+        {
+            "params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "mask_words": jax.random.PRNGKey(2),
+        },
+        jb["video_feat"],
+        jb["video_mask"],
+        jb["words_feat"],
+        jb["words_mask"],
+        jb["sentence_feat"],
+        (jnp.arange(B, dtype=jnp.int32) + 1) % B,
+        is_training=False,
+        deterministic=True,
+        clip_mask=jb["clip_mask"],
+        words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"],
+        ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"],
+        ss_own_pos=jb["ss_own_pos"],
+    )["params"]
+
+
+@pytest.mark.parametrize("with_loss", [False, True])
+def test_coalesced_step_matches_per_batch(with_loss):
+    model = tiny_model()
+    batches = [device_batch(s) for s in (1, 2, 3)]
+    params = init_params(model, batches[0])
+    ccfg = CriterionConfig(recfw_coef=0.1, recss_coef=0.1)
+    rng = jax.random.PRNGKey(9)
+
+    one = make_eval_step(model, ccfg, encode_text, with_loss=with_loss)
+    assert one.coalesce == 1
+    three = make_eval_step(model, ccfg, encode_text, with_loss=with_loss, coalesce=3)
+    assert three.coalesce == 3
+
+    # the scanned program and the standalone program are separate XLA
+    # compilations, so fusion/reassociation order differs -> ULP-level float
+    # differences are expected (value-equivalent, not bit-equivalent)
+    preds_k, losses_k = three(params, {}, tuple(batches), rng)
+    for j, b in enumerate(batches):
+        preds_1, losses_1 = one(params, {}, b, rng)
+        for key in preds_1:
+            np.testing.assert_allclose(
+                np.asarray(preds_k[key][j]), np.asarray(preds_1[key]),
+                rtol=1e-5, atol=1e-5, err_msg=key,
+            )
+        if with_loss:
+            assert set(losses_k) == set(losses_1)
+            for key in losses_1:
+                np.testing.assert_allclose(
+                    np.asarray(losses_k[key][j]), np.asarray(losses_1[key]),
+                    rtol=1e-4, atol=1e-5, err_msg=key,
+                )
+
+
+def _meta(tag, n):
+    return dict(
+        n_rows=n,
+        duration=[10.0 + i for i in range(n)],
+        qid=[f"{tag}-q{i}" for i in range(n)],
+        sentence=[f"{tag}-s{i}" for i in range(n)],
+        video_id=[f"{tag}-v{i}" for i in range(n)],
+    )
+
+
+def test_compute_mr_results_coalesced_equals_sequential():
+    from mesm_tpu.evaluate import compute_mr_results
+
+    model = tiny_model()
+    # 3 batches at Lv, then 2 at Lv+8: exercises the signature-change flush
+    # AND two remainder groups (3 = 2+pad, 2 = full) at coalesce=2
+    host = [
+        (jax.device_get(device_batch(s, lv)), _meta(f"b{s}", B))
+        for s, lv in ((1, Lv), (2, Lv), (3, Lv), (4, Lv + 8), (5, Lv + 8))
+    ]
+    loader = list(host)
+    params = init_params(model, {k: jnp.asarray(v) for k, v in host[0][0].items()})
+    opt = types.SimpleNamespace(
+        sort_results=True, clip_len=1, max_ts_val=100, compute_dtype="float32"
+    )
+    rng = jax.random.PRNGKey(4)
+
+    seq = compute_mr_results(
+        params, {}, make_eval_step(model, None, encode_text, with_loss=False),
+        loader, opt, rng,
+    )
+    co = compute_mr_results(
+        params, {},
+        make_eval_step(model, None, encode_text, with_loss=False, coalesce=2),
+        loader, opt, rng,
+    )
+    # every row present, in order, and numerically equal up to the separate-
+    # compilation ULP noise (windows are rounded to 4 decimals on a ~10s
+    # duration scale, so 1e-3 absolute covers a flipped rounding step)
+    assert [r["qid"] for r in seq] == [r["qid"] for r in co]
+    assert [r["qid"] for r in seq] == [m["qid"][i] for _, m in host for i in range(B)]
+    for rs, rc in zip(seq, co):
+        assert rs["vid"] == rc["vid"] and rs["query"] == rc["query"]
+        np.testing.assert_allclose(
+            np.asarray(rs["pred_relevant_windows"]),
+            np.asarray(rc["pred_relevant_windows"]),
+            atol=1.1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rs["pred_saliency_scores"]),
+            np.asarray(rc["pred_saliency_scores"]),
+            atol=1e-4,
+        )
