@@ -18,9 +18,20 @@ MXU waste), and the (B,L,E)->(B,H,L,hd) layout change XLA inserts around the
 custom call costs ~0.3 ms — the HBM saved on a 195x195 logits tile doesn't
 cover it. At 600+ the logits tensor is 9.5x larger and the kernel wins big.
 
+Round-2 update — the v4 "packed" layout (ops/attention_pallas.py
+_mha_kernel_packed) finally wins at the flagship geometry: operands stay in
+the model-native (B, L, E) shape and the head split happens inside the
+kernel, so XLA inserts no (B,H,L,hd) transposes around the custom call and
+the layout pressure on neighbouring LayerNorm fusions disappears. Measured
+in-model (traces/eval_co8_packed vs traces/eval_co8, bf16 128x8x195x195):
+step busy 4.74 -> 4.37 ms/batch (-7.8%), with the slow transposed-layout LN
+reductions dropping 0.93 -> 0.32 ms as a side effect.
+
 Modes: "off" (always XLA), "on" (kernel for any shape above the minimum
-lowering size), "auto" (default — kernel only where measured to win: both
-sequence lengths >= AUTO_MIN_LEN and batch >= AUTO_MIN_BATCH, TPU backend).
+lowering size), "auto" (default — kernel only where measured to win, see
+use_pallas_attention). Kernels are an INFERENCE path: the dispatch in
+models/attention.py routes through them only for deterministic calls
+(pallas_call has no autodiff rule here; training keeps the XLA core).
 """
 from __future__ import annotations
 
@@ -28,8 +39,13 @@ import jax
 
 _MODE: str = "auto"  # "auto" | "on" | "off"
 
+# fp32 tier (v3 "batched" variant): long geometries only — at L=195 fp32 the
+# batched kernel loses to XLA (round-1 measurement, see module docstring)
 AUTO_MIN_LEN = 512
 AUTO_MIN_BATCH = 16
+# bf16 tier (v4 "packed" variant): wins from the flagship L=195 upward
+PACKED_MIN_LEN = 128
+PACKED_MIN_BATCH = 8
 
 
 def set_pallas_attention(enabled) -> None:
@@ -50,10 +66,14 @@ def pallas_mode() -> str:
 def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
     """Shape- and dtype-aware dispatch decision for the current mode.
 
-    bf16 halves the XLA chain's logits HBM traffic — the kernel's whole
-    advantage — so in bf16 the kernel no longer wins even at TACoS geometry
-    (measured: 19.9 ms XLA vs 20.4 ms kernel step busy at 16x8x601x601 bf16;
-    fp32: 32.0 vs 23.1 in the kernel's favor). auto = fp32 + long + batched."""
+    Two measured tiers (both on v5e, in-model traces):
+    - fp32 -> v3 "batched" variant, only for long geometries (TACoS
+      16x8x601x601: step busy 32.0 -> 23.1 ms; at L=195 fp32 it loses).
+      bf16 halves the XLA chain's logits traffic, erasing the batched
+      variant's win (19.9 XLA vs 20.4 kernel at 601 bf16).
+    - bf16 -> v4 "packed" variant from L >= 128 (charades 128x8x195x195:
+      step busy 4.74 -> 4.37 ms/batch; layout churn removed).
+    The variant itself is selected by dtype in attention_pallas.fused_attention."""
     if _MODE == "off":
         return False
     try:
@@ -62,12 +82,15 @@ def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bo
         on_tpu = False
     if _MODE == "on":
         return True
+    if not on_tpu:
+        return False
     import jax.numpy as jnp
 
-    fp32 = dtype is None or dtype == jnp.float32
-    return (
-        on_tpu
-        and fp32
-        and min(Lq, Lk) >= AUTO_MIN_LEN
-        and B >= AUTO_MIN_BATCH
-    )
+    if dtype == jnp.bfloat16:
+        # both sides long: extending the packed(+pair) kernel to the
+        # short-key t2v/enhance cross-attn sites (195 queries x 17 keys) was
+        # measured a NET LOSS — step busy 4.37 -> 5.04 ms/batch
+        # (traces/eval_co8_pair): the XLA chain there is already cheap and
+        # the kernel pads 17 keys to a 128-lane group per head
+        return min(Lq, Lk) >= PACKED_MIN_LEN and B >= PACKED_MIN_BATCH
+    return min(Lq, Lk) >= AUTO_MIN_LEN and B >= AUTO_MIN_BATCH

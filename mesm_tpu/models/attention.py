@@ -52,9 +52,16 @@ def attention_core(
     v_head_dim = Ev // num_heads
     scale = head_dim**-0.5
 
-    qh = q.reshape(B, Lq, num_heads, head_dim).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, Lk, num_heads, head_dim).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Lk, num_heads, v_head_dim).transpose(0, 2, 1, 3)
+    # Head split via reshape only; the head axis rides as a dot batch dim.
+    # Measured note: XLA emits the SAME program (same ~0.7 ms/step of layout
+    # copies at the charades geometry) for this bqhd form and the explicit
+    # transpose(0,2,1,3) form — the copies are XLA's layout assignment
+    # around the attention fusions, not the user-level transpose. Removing
+    # them requires replacing the whole chain (ops/attention_pallas.py
+    # "packed" kernel), not rewriting the einsum.
+    qh = q.reshape(B, Lq, num_heads, head_dim)
+    kh = k.reshape(B, Lk, num_heads, head_dim)
+    vh = v.reshape(B, Lk, num_heads, v_head_dim)
 
     # In bf16 compute mode the logits tensor — the dominant HBM traffic at
     # L>=195 — is STORED bf16 (MXU still accumulates f32 internally); the
@@ -62,7 +69,7 @@ def attention_core(
     # ever hits HBM. fp32 mode keeps f32 logits for bit-parity.
     acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=acc_t
+        "bqhd,bkhd->bhqk", qh * scale, kh, preferred_element_type=acc_t
     )
     if logit_bias is not None:
         logits = logits + logit_bias
@@ -79,16 +86,22 @@ def attention_core(
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=acc_t)
-    return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh, preferred_element_type=acc_t)
+    return out.reshape(B, Lq, Ev).astype(v.dtype)
 
 
 def dispatch_attention_core(q, k, v, **kwargs):
     """Route to the Pallas fused kernel where it is measured to win
-    (see mesm_tpu/kernels.py for the policy), else the XLA core."""
+    (see mesm_tpu/kernels.py for the policy), else the XLA core.
+
+    Kernels are inference-only: pallas_call carries no autodiff rule here,
+    so non-deterministic (training) calls always take the XLA core, whose
+    gradient XLA derives."""
     from mesm_tpu import kernels
 
-    if kernels.use_pallas_attention(q.shape[0], q.shape[1], k.shape[1], q.dtype):
+    if kwargs.get("deterministic", True) and kernels.use_pallas_attention(
+        q.shape[0], q.shape[1], k.shape[1], q.dtype
+    ):
         from mesm_tpu.ops.attention_pallas import fused_attention
 
         return fused_attention(q, k, v, **kwargs)

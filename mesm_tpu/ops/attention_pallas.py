@@ -32,9 +32,13 @@ NEG_INF = -1e9
 MIN_FUSED_LQ = 64
 MIN_FUSED_LK = 64
 
-# Which kernel layout fused_attention uses (see the three _mha_kernel_*):
-# "batched" = sample-tiled batched dots (v3, fastest measured).
-DEFAULT_VARIANT = "batched"
+# Which kernel layout fused_attention uses (see the four _mha_kernel_*):
+# "batched" = sample-tiled batched dots over (B,H,L,hd) operands (v3);
+# "packed" = sample-tiled, heads split in-kernel from (B,L,E) operands (v4).
+# Env override MESM_ATTN_VARIANT for experiments.
+import os as _os
+
+DEFAULT_VARIANT = _os.environ.get("MESM_ATTN_VARIANT", "batched")
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
@@ -107,6 +111,98 @@ def _mha_kernel_batched(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
+def _mha_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, heads: int):
+    """v4 "packed" layout: blocks stay in the model's native (NB, L, E)
+    shape — the head split happens INSIDE the kernel as 32-lane slices, so
+    XLA never materializes a (B, H, L, hd) transpose around the custom call
+    (the copies cost ~0.3 ms/step at the charades geometry, and the
+    transposed operands force layout churn on neighbouring fusions).
+    Logits are f32 in VMEM and never touch HBM."""
+    q = q_ref[...]  # (NB, Lq, E)
+    k = k_ref[...]  # (NB, Lk, E)
+    v = v_ref[...]  # (NB, Lk, Ev)
+    m = mask_ref[...]  # (NB, Lk) float, 1 = attendable
+    E = q.shape[-1]
+    Ev = v.shape[-1]
+    hd = E // heads
+    hdv = Ev // heads
+    outs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        kh = k[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (NB, Lq, Lk)
+        logits = jnp.where(m[:, None, :] > 0, logits, NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v[:, :, h * hdv:(h + 1) * hdv],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _mha_kernel_packed_pair(
+    q_ref, k_ref, v_ref, mask_ref, qf_ref, kf_ref, o_ref, *, scale: float, heads: int
+):
+    """Packed layout + the factored pair mask (models/t2v.py
+    scrambled_pair_factors): pair (q, k) of head (b, h) is disallowed when
+    BOTH factors flag it. Factors arrive HEAD-MAJOR as (H, NB, L) floats
+    (1 = flagged) so the per-head load indexes the leading axis (Mosaic
+    lowers middle-axis integer indexing to an unsupported >2D gather); the
+    (Lq, Lk) outer product lives only in VMEM."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    m = mask_ref[...]  # (NB, Lk)
+    E = q.shape[-1]
+    Ev = v.shape[-1]
+    hd = E // heads
+    hdv = Ev // heads
+    outs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        kh = k[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        qfh = qf_ref[h]  # (NB, Lq)
+        kfh = kf_ref[h]  # (NB, Lk)
+        dis = (qfh[:, :, None] > 0) & (kfh[:, None, :] > 0)
+        logits = jnp.where(dis, NEG_INF, logits)
+        logits = jnp.where(m[:, None, :] > 0, logits, NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v[:, :, h * hdv:(h + 1) * hdv],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_batch_tile(B: int, Lq: int, Lk: int, E: int, Ev: int, itemsize: int) -> int:
+    """Largest divisor of B fitting the packed kernel's VMEM working set:
+    q/k/v/o blocks at model dtype + one head's f32 logits and softmax temp."""
+    per_sample = (
+        (Lq * E + Lk * E + Lk * Ev + Lq * Ev) * itemsize  # q, k, v, o blocks
+        + -8 * (-Lq // 8) * -128 * (-Lk // 128) * 4 * 2   # f32 logits + temp
+    )
+    cap = max(1, int(10e6 // per_sample))
+    for nb in range(min(cap, 8, B), 0, -1):
+        if B % nb == 0:
+            return nb
+    return 1
+
+
 def _batch_tile(B: int, Lq: int, Lk: int) -> int:
     """Largest divisor of B whose (NB, Lq, Lk) f32 logits tile (padded to the
     (8, 128) tiling, with ~2x headroom for softmax temporaries) fits the 16MB
@@ -123,13 +219,54 @@ def _batch_tile(B: int, Lq: int, Lk: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "variant"))
-def _fused_attention_impl(q, k, v, mask, num_heads: int, interpret: bool, variant: str = "per_head"):
+def _fused_attention_impl(
+    q, k, v, mask, num_heads: int, interpret: bool, variant: str = "per_head",
+    qf=None, kf=None,
+):
     B, Lq, E = q.shape
     Lk = k.shape[1]
     Ev = v.shape[-1]
     H = num_heads
     hd, hdv = E // H, Ev // H
     scale = hd**-0.5
+
+    if variant == "packed":
+        # operands keep the model-native (B, L, E) shape: no (B,H,L,hd)
+        # transpose at the custom-call boundary
+        NB = _packed_batch_tile(B, Lq, Lk, E, Ev, q.dtype.itemsize)
+        cost = pl.CostEstimate(
+            flops=2 * B * H * Lq * Lk * (hd + hdv),
+            bytes_accessed=q.dtype.itemsize
+            * B * (Lq * E + Lk * E + Lk * Ev + Lq * Ev),
+            transcendentals=B * H * Lq * Lk,
+        )
+        in_specs = [
+            pl.BlockSpec((NB, Lq, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, Lk, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, Lk, Ev), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, Lk), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        operands = (q, k, v, mask)
+        if qf is not None:
+            kernel = functools.partial(_mha_kernel_packed_pair, scale=scale, heads=H)
+            in_specs += [
+                pl.BlockSpec((H, NB, Lq), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, NB, Lk), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            ]
+            operands += (qf, kf)
+        else:
+            kernel = functools.partial(_mha_kernel_packed, scale=scale, heads=H)
+        return pl.pallas_call(
+            kernel,
+            grid=(B // NB,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (NB, Lq, Ev), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Lq, Ev), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*operands)
 
     qh = q.reshape(B, Lq, H, hd).transpose(0, 2, 1, 3)  # (B,H,Lq,hd)
     kh = k.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
@@ -212,13 +349,24 @@ def fused_attention(
     dropout_rng=None,
 ) -> jnp.ndarray:
     """Drop-in for models/attention.attention_core. Falls back to the XLA core
-    when attention dropout is active or an additive bias / pair mask is
-    supplied (TODO perf: fold the factored pair mask into the kernel)."""
-    small = q.shape[1] < MIN_FUSED_LQ or k.shape[1] < MIN_FUSED_LK
+    when attention dropout is active or an additive bias is supplied. The
+    factored pair mask (t2v sites) is supported by the packed variant; other
+    variants fall back."""
+    # variant by dtype, matching the measured policy in mesm_tpu/kernels.py:
+    # bf16 -> v4 packed (wins from L=195); fp32 -> v3 batched (long only)
+    variant = _os.environ.get("MESM_ATTN_VARIANT") or (
+        "packed" if q.dtype == jnp.bfloat16 else "batched"
+    )
+    # the packed variant tolerates short KEY sequences (its VPU tiles pad Lk
+    # to a lane group either way); the (B,H,L,hd)-layout variants need both
+    # sides above the lowering minimum
+    small = q.shape[1] < MIN_FUSED_LQ or k.shape[1] < (
+        8 if variant == "packed" else MIN_FUSED_LK
+    )
     if (
         (dropout_rate > 0.0 and not deterministic)
         or logit_bias is not None
-        or pair_factors is not None
+        or (pair_factors is not None and variant != "packed")
         or small
     ):
         from ..models.attention import attention_core
@@ -238,5 +386,12 @@ def fused_attention(
         mask = jnp.ones((B, Lk), jnp.float32)
     else:
         mask = key_valid_mask.astype(jnp.float32)
+    qf = kf = None
+    if pair_factors is not None:
+        # head-major (H, B, L): the kernel indexes heads on the leading axis
+        qf = pair_factors[0].astype(jnp.float32).transpose(1, 0, 2)
+        kf = pair_factors[1].astype(jnp.float32).transpose(1, 0, 2)
     interpret = jax.default_backend() == "cpu"
-    return _fused_attention_impl(q, k, v, mask, num_heads, interpret, DEFAULT_VARIANT)
+    return _fused_attention_impl(
+        q, k, v, mask, num_heads, interpret, variant, qf, kf
+    )

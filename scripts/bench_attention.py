@@ -46,7 +46,7 @@ def main():
     t_xla, r_xla = timeit(xla, q, k, v, maskb)
     print(f"XLA core      {t_xla:9.1f} us")
 
-    for variant in ("per_head", "all_heads"):
+    for variant in ("per_head", "all_heads", "batched", "packed"):
         fn = lambda q, k, v, m: _fused_attention_impl(q, k, v, m, H, False, variant)
         try:
             t, r = timeit(fn, q, k, v, maskf)

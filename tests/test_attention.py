@@ -89,7 +89,7 @@ def test_fused_pallas_all_variants_match():
         ref = attention_core(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4, jnp.asarray(mask)
         )
-        for variant in ("per_head", "all_heads", "batched"):
+        for variant in ("per_head", "all_heads", "batched", "packed"):
             ours = _fused_attention_impl(
                 jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                 jnp.asarray(mask, jnp.float32), 4, True, variant,
@@ -130,3 +130,34 @@ def test_fused_falls_back_for_dropout_and_bias():
         dropout_rate=0.5, deterministic=False, dropout_rng=jax.random.PRNGKey(0),
     )
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_fused_packed_pair_factors_match_core():
+    """The packed variant's in-kernel pair mask (t2v scrambled factors)
+    matches the XLA core's fused outer-product masking, incl. short keys."""
+    from mesm_tpu.ops.attention_pallas import _fused_attention_impl
+
+    rng = np.random.default_rng(11)
+    for B, Lq, Lk, E in ((4, 96, 17, 64), (6, 80, 72, 128)):
+        H = 4
+        q, k, v, mask = _rand_qkv(rng, B=B, Lq=Lq, Lk=Lk, E=E, Ev=E, H=H)
+        qf = (rng.random((B, H, Lq)) < 0.3)
+        kf = (rng.random((B, H, Lk)) < 0.3)
+        # keep at least one attendable key per (b, h, q): clear kf where the
+        # key-padding mask already removes most keys
+        kf &= mask[:, None, :]
+        ref = attention_core(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, jnp.asarray(mask),
+            pair_factors=(jnp.asarray(qf), jnp.asarray(kf)),
+        )
+        ours = _fused_attention_impl(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask, jnp.float32), H, True, "packed",
+            # the impl takes the factors head-major (H, B, L)
+            jnp.asarray(qf, jnp.float32).transpose(1, 0, 2),
+            jnp.asarray(kf, jnp.float32).transpose(1, 0, 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=1e-5,
+            err_msg=f"B={B} Lq={Lq} Lk={Lk}",
+        )

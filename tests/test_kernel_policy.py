@@ -33,15 +33,22 @@ def test_auto_policy_off_on_cpu():
     assert not kernels.use_pallas_attention(128, 195, 195)
 
 
-def test_auto_policy_fp32_only(monkeypatch):
-    """bf16 halves the XLA logits traffic, erasing the kernel's win — auto
-    must select the kernel only for fp32 (measured in kernels.py docstring)."""
+def test_auto_policy_dtype_tiers(monkeypatch):
+    """Two measured tiers (kernels.py docstring): fp32 -> batched variant for
+    long geometries only; bf16 -> packed variant from L >= 128."""
     import jax.numpy as jnp
 
     kernels.set_pallas_attention(None)
     monkeypatch.setattr(kernels.jax, "default_backend", lambda: "tpu")
+    # fp32 tier
     assert kernels.use_pallas_attention(16, 600, 600, jnp.float32)
-    assert not kernels.use_pallas_attention(16, 600, 600, jnp.bfloat16)
     assert kernels.use_pallas_attention(16, 600, 600)  # dtype unknown -> fp32
     assert not kernels.use_pallas_attention(8, 600, 600, jnp.float32)  # B < 16
     assert not kernels.use_pallas_attention(16, 195, 600, jnp.float32)  # short
+    # bf16 tier: packed kernel from the flagship geometry upward, both sides
+    # long (short-key t2v sites measured a net loss, kernels.py docstring)
+    assert kernels.use_pallas_attention(128, 195, 195, jnp.bfloat16)
+    assert kernels.use_pallas_attention(16, 600, 600, jnp.bfloat16)
+    assert not kernels.use_pallas_attention(128, 195, 17, jnp.bfloat16)  # t2v keys
+    assert not kernels.use_pallas_attention(128, 10, 195, jnp.bfloat16)  # decoder
+    assert not kernels.use_pallas_attention(4, 195, 195, jnp.bfloat16)  # B < 8
