@@ -121,7 +121,9 @@ def _mha_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, he
     q = q_ref[...]  # (NB, Lq, E)
     k = k_ref[...]  # (NB, Lk, E)
     v = v_ref[...]  # (NB, Lk, Ev)
-    m = mask_ref[...]  # (NB, Lk) float, 1 = attendable
+    # mask rides as (NB, 1, Lk) so its block's last two dims satisfy the
+    # Mosaic (8,128)-or-full rule at any NB; it broadcasts over Lq as-is
+    m = mask_ref[...]  # (NB, 1, Lk) float, 1 = attendable
     E = q.shape[-1]
     Ev = v.shape[-1]
     hd = E // heads
@@ -135,7 +137,7 @@ def _mha_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, he
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (NB, Lq, Lk)
-        logits = jnp.where(m[:, None, :] > 0, logits, NEG_INF)
+        logits = jnp.where(m > 0, logits, NEG_INF)
         p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         outs.append(
             jax.lax.dot_general(
@@ -152,14 +154,15 @@ def _mha_kernel_packed_pair(
 ):
     """Packed layout + the factored pair mask (models/t2v.py
     scrambled_pair_factors): pair (q, k) of head (b, h) is disallowed when
-    BOTH factors flag it. Factors arrive HEAD-MAJOR as (H, NB, L) floats
+    BOTH factors flag it. Factors arrive HEAD-MAJOR as (H, NB, 1, L) floats
     (1 = flagged) so the per-head load indexes the leading axis (Mosaic
-    lowers middle-axis integer indexing to an unsupported >2D gather); the
-    (Lq, Lk) outer product lives only in VMEM."""
+    lowers middle-axis integer indexing to an unsupported >2D gather) and
+    the blocks' last two dims are (1, L) = full at any NB; the (Lq, Lk)
+    outer product lives only in VMEM."""
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
-    m = mask_ref[...]  # (NB, Lk)
+    m = mask_ref[...]  # (NB, 1, Lk)
     E = q.shape[-1]
     Ev = v.shape[-1]
     hd = E // heads
@@ -173,11 +176,11 @@ def _mha_kernel_packed_pair(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        qfh = qf_ref[h]  # (NB, Lq)
-        kfh = kf_ref[h]  # (NB, Lk)
-        dis = (qfh[:, :, None] > 0) & (kfh[:, None, :] > 0)
+        qfh = qf_ref[h].reshape(q.shape[0], -1, 1)  # (NB,1,Lq) -> (NB,Lq,1)
+        kfh = kf_ref[h]  # (NB, 1, Lk), broadcasts over Lq
+        dis = (qfh > 0) & (kfh > 0)
         logits = jnp.where(dis, NEG_INF, logits)
-        logits = jnp.where(m[:, None, :] > 0, logits, NEG_INF)
+        logits = jnp.where(m > 0, logits, NEG_INF)
         p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         outs.append(
             jax.lax.dot_general(
@@ -244,16 +247,16 @@ def _fused_attention_impl(
             pl.BlockSpec((NB, Lq, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NB, Lk, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NB, Lk, Ev), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, Lk), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1, Lk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
-        operands = (q, k, v, mask)
+        operands = (q, k, v, mask.reshape(B, 1, Lk))
         if qf is not None:
             kernel = functools.partial(_mha_kernel_packed_pair, scale=scale, heads=H)
             in_specs += [
-                pl.BlockSpec((H, NB, Lq), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, NB, Lk), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, NB, 1, Lq), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, NB, 1, Lk), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
             ]
-            operands += (qf, kf)
+            operands += (qf.reshape(H, B, 1, Lq), kf.reshape(H, B, 1, Lk))
         else:
             kernel = functools.partial(_mha_kernel_packed, scale=scale, heads=H)
         return pl.pallas_call(
