@@ -88,18 +88,22 @@ def shape_only_params(model, args, kw, is_training=False):
     return jax.device_put(params, jax.devices()[0])
 
 
-def measure(fn, first_args, B, iters=20, warmup=3):
+def measure(fn, first_args, B, iters=20, warmup=3, rounds=2):
+    """Best-of-`rounds` throughput: host/relay interference only ever ADDS
+    wall time on this shared single-core host, so max is the honest reading."""
     import jax
 
     for _ in range(warmup):
         r = fn(*first_args)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*first_args)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    return B * iters / dt
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*first_args)
+        jax.block_until_ready(r)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return best
 
 
 def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
@@ -201,11 +205,13 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     r = step_k(params, {}, (jb_eval,) * K, rng0)
     jax.block_until_ready(r)
     iters = 4
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step_k(params, {}, (jb_eval,) * K, rng0)
-    jax.block_until_ready(r)
-    fast_k = B * K * iters / (time.perf_counter() - t0)
+    fast_k = 0.0
+    for _ in range(2):  # best-of-2, as in measure()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step_k(params, {}, (jb_eval,) * K, rng0)
+        jax.block_until_ready(r)
+        fast_k = max(fast_k, B * K * iters / (time.perf_counter() - t0))
     log(f"[{label}] coalesced x{K}: {fast_k:.1f} rows/s "
         f"(single-dispatch: {fast:.1f})")
     fast = max(fast, fast_k)

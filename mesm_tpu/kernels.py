@@ -46,6 +46,23 @@ AUTO_MIN_BATCH = 16
 # bf16 tier (v4 "packed" variant): wins from the flagship L=195 upward
 PACKED_MIN_LEN = 128
 PACKED_MIN_BATCH = 8
+# fused LayerNorm->Dense (ops/layer_pallas.py): only worth it when the
+# normalized axis is wide enough that re-reading the input dominates (the
+# 2818-wide raw video features; hidden-size 256 blocks stay on XLA)
+LN_DENSE_MIN_D = 1024
+
+
+def use_fused_ln_dense(D: int) -> bool:
+    """Dispatch for the fused LayerNorm->Dense input-projection kernel."""
+    if _MODE == "off":
+        return False
+    if _MODE == "on":
+        return True
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return on_tpu and D >= LN_DENSE_MIN_D
 
 
 def set_pallas_attention(enabled) -> None:

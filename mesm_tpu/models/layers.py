@@ -104,9 +104,38 @@ class LinearBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = Dense(self.features, dtype=self.dtype, name="proj")(x)
+            from mesm_tpu import kernels
+
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+            proj = Dense(self.features, dtype=self.dtype, name="proj")
+            if deterministic and kernels.use_fused_ln_dense(x.shape[-1]):
+                # Fused LN->Dense(->ReLU) Pallas path (ops/layer_pallas.py):
+                # reads the wide input once instead of three times. Params
+                # are created by the REAL submodules on a 1-row slice (the
+                # tiny compute is dead-code-eliminated), then read from this
+                # bound module's variables — checkpoint layout unchanged.
+                import jax
+
+                from ..ops.layer_pallas import fused_ln_dense
+
+                tiny = x.reshape(-1, x.shape[-1])[:1]
+                _ = proj(norm(tiny))
+                p = self.variables["params"]
+                return fused_ln_dense(
+                    x,
+                    p["norm"]["scale"],
+                    p["norm"]["bias"],
+                    p["proj"]["linear"]["kernel"],
+                    p["proj"]["linear"]["bias"],
+                    relu=self.relu,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            x = norm(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = proj(x)
+        else:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dense(self.features, dtype=self.dtype, name="proj")(x)
         if self.relu:
             x = nn.relu(x)
         return x

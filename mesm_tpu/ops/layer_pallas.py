@@ -250,3 +250,120 @@ def fused_stream_layer(
         cost_estimate=cost,
         interpret=interpret,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm -> Dense (-> ReLU): the input-projection hot path.
+#
+# The reference's LinearLayer (model/model.py:412-434) applies LayerNorm to
+# the RAW 2818-wide video features before projecting to 256. In the XLA
+# chain that costs three full reads of the (rows, 2818) input (one per stat
+# pass, one for normalize+matmul); this kernel reads it once. Unlike the
+# full-layer megakernel above, this op is HBM-bound (K=2818-deep matmul,
+# trivial VPU work), so fusing passes is the right trade here.
+# ---------------------------------------------------------------------------
+
+
+def _ln_dense_kernel(x_ref, s_ref, b_ref, w_ref, d_ref, o_ref, *, relu: bool):
+    x = x_ref[...]  # (R, D) or (1, L, D)
+    if x.ndim == 3:
+        x = x.reshape(-1, x.shape[-1])
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    out = jax.lax.dot_general(
+        y.astype(x.dtype), w_ref[...].astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + d_ref[...].astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def fused_ln_dense(
+    x: jnp.ndarray,        # (..., D)
+    ln_scale: jnp.ndarray,  # (D,)
+    ln_bias: jnp.ndarray,   # (D,)
+    kernel: jnp.ndarray,    # (D, F)
+    bias: jnp.ndarray,      # (F,)
+    relu: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    F = kernel.shape[1]
+    N = 1
+    for s in lead:
+        N *= s
+    # Keep the input in its native >=3D shape and grid over the leading
+    # (group) axis: a pre-call reshape to (N, D) is NOT free when the
+    # operand is produced by a scan's dynamic-slice (measured: XLA
+    # materializes a 0.17 ms/batch copy of the (10282, 2818) view).
+    if x.ndim >= 3:
+        G = N // lead[-1]
+        L = lead[-1]
+        x3 = x.reshape(G, L, D)
+        out = pl.pallas_call(
+            functools.partial(_ln_dense_kernel, relu=relu),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, L, D), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, F), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, L, F), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, L, F), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * N * D * F,
+                bytes_accessed=x.dtype.itemsize * (N * D + N * F + D * F),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(
+            x3,
+            ln_scale.reshape(1, D),
+            ln_bias.reshape(1, D),
+            kernel,
+            bias.reshape(1, F),
+        )
+        return out.reshape(*lead, F)
+
+    x2 = x.reshape(N, D)
+    # 256-row tiles; a partial final block is clipped by pallas (garbage
+    # rows in the padded read produce discarded outputs — no transcendental
+    # in this kernel can turn them into NaN-traps). Below 256 rows the block
+    # must EQUAL the array dim to stay Mosaic-legal at non-multiple-of-8 N.
+    R = 256 if N >= 256 else N
+    grid = pl.cdiv(N, R)
+    out = pl.pallas_call(
+        functools.partial(_ln_dense_kernel, relu=relu),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((R, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, F), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, F), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * F,
+            bytes_accessed=x.dtype.itemsize * (N * D + N * F + D * F),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        ln_scale.reshape(1, D),
+        ln_bias.reshape(1, D),
+        kernel,
+        bias.reshape(1, F),
+    )
+    return out.reshape(N, F) if not lead else out.reshape(*lead, F)

@@ -80,3 +80,38 @@ def test_fused_t2v_layer_matches_flax():
         map_params(params, "cross_attn"), heads=H, self_attn=False, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ln_dense_matches_linear_block():
+    """LinearBlock's fused LN->Dense->ReLU path (forced via kernels mode
+    'on'; interpret on CPU) matches the standard module math, through BOTH
+    init and apply — proving the bound-variables param plumbing."""
+    from mesm_tpu import kernels
+    from mesm_tpu.models.layers import LinearBlock
+
+    rng = np.random.default_rng(3)
+    for relu, (B, L, Din) in ((True, (3, 7, 96)), (False, (2, 11, 40))):
+        x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+        block = LinearBlock(32, layer_norm=True, dropout=0.3, relu=relu)
+        try:
+            kernels.set_pallas_attention("off")
+            params = block.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                x, deterministic=True,
+            )["params"]
+            ref = block.apply({"params": params}, x, deterministic=True)
+            kernels.set_pallas_attention("on")
+            # init under the fused path must produce the same param tree
+            params_f = block.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                x, deterministic=True,
+            )["params"]
+            assert jax.tree.structure(params_f) == jax.tree.structure(params)
+            for a, b in zip(jax.tree.leaves(params_f), jax.tree.leaves(params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            out = block.apply({"params": params}, x, deterministic=True)
+        finally:
+            kernels.set_pallas_attention(None)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, err_msg=f"relu={relu}"
+        )
