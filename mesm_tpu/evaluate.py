@@ -92,23 +92,31 @@ def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=
     else:
         pend: list = []  # (jb, batch, meta) awaiting a full group
         pend_sig = None
+        inflight: list = []  # one-deep pipeline: decode N while N+1 runs
+
+        def drain():
+            if not inflight:
+                return
+            preds, losses, group = inflight.pop()
+            preds = jax.device_get(preds)  # blocks until that dispatch ends
+            losses = jax.device_get(losses) if losses else {}
+            for j in range(len(group)):
+                preds_j = jax.tree.map(lambda a: a[j], preds)
+                record_losses(jax.tree.map(lambda a: a[j], losses))
+                _decode_batch(preds_j, group[j][1], group[j][2], opt, mr_res)
 
         def flush():
             nonlocal pend, pend_sig
             if not pend:
                 return
             jbs = [p[0] for p in pend]
-            real = len(jbs)
             while len(jbs) < coalesce:  # pad by repeating (outputs discarded)
                 jbs.append(jbs[-1])
             preds, losses = eval_step(params, frozen, tuple(jbs), rng)
-            preds = jax.device_get(preds)
-            losses = jax.device_get(losses) if losses else {}
-            for j in range(real):
-                preds_j = jax.tree.map(lambda a: a[j], preds)
-                record_losses(jax.tree.map(lambda a: a[j], losses))
-                _decode_batch(preds_j, pend[j][1], pend[j][2], opt, mr_res)
+            group = pend
             pend, pend_sig = [], None
+            drain()  # decode the PREVIOUS superbatch while this one runs
+            inflight.append((preds, losses, group))
 
         for jb, batch, meta in device_feed(loader, compute_dtype_from_opt(opt)):
             sig = _batch_signature(jb)
@@ -119,6 +127,7 @@ def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=
             if len(pend) == coalesce:
                 flush()
         flush()
+        drain()
 
     post = SpanPostProcessor(
         clip_length=opt.clip_len,
@@ -216,12 +225,15 @@ def inference(args=None):
         for vl in val_loaders.values():
             R.cache_text_features(vl.dataset, encode_text, frozen)
 
-    eval_step = make_eval_step(
-        model, None, encode_text, with_loss=False,
-        coalesce=R.eval_coalesce_from_opt(opt),
-    )
     results = {}
+    steps_by_k: Dict[int, object] = {}  # one jitted step per distinct K
     for split, loader in val_loaders.items():
+        k = R.eval_coalesce_from_opt(opt, n_batches=len(loader))
+        if k not in steps_by_k:
+            steps_by_k[k] = make_eval_step(
+                model, None, encode_text, with_loss=False, coalesce=k
+            )
+        eval_step = steps_by_k[k]
         save_name = f"{opt.dataset_name}_{split}_test_submission.jsonl"
         t0 = time.time()
         metrics, metrics_nms, _, _ = eval_epoch(

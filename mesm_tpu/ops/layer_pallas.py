@@ -307,17 +307,26 @@ def fused_ln_dense(
         G = N // lead[-1]
         L = lead[-1]
         x3 = x.reshape(G, L, D)
+        # VMEM-aware row tile within each group: x block + its f32 upcast +
+        # normalized copy + weights must fit the ~16MB scoped budget (TACoS
+        # fp32 at (600, 4098) needs 23MB untiled — measured OOM)
+        it = x.dtype.itemsize
+        per_row = D * (it + 8) + F * 8
+        cap = max(8, int((9e6 - it * D * F) // per_row))
+        RL = L if L <= cap else (cap // 8) * 8
         out = pl.pallas_call(
             functools.partial(_ln_dense_kernel, relu=relu),
-            grid=(G,),
+            grid=(G, pl.cdiv(L, RL)),
             in_specs=[
-                pl.BlockSpec((1, L, D), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, D), lambda g: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, D), lambda g: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, F), lambda g: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, F), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RL, D), lambda g, r: (g, r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda g, r: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda g, r: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, F), lambda g, r: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda g, r: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, L, F), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (1, RL, F), lambda g, r: (g, r, 0), memory_space=pltpu.VMEM
+            ),
             out_shape=jax.ShapeDtypeStruct((G, L, F), x.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * N * D * F,

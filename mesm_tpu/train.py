@@ -205,11 +205,18 @@ def train(args=None):
 
     train_step = make_train_step(model, ccfg, encode_text, tx)
     # eval during training also reports criterion losses (reference
-    # train.py:156 -> eval.py:101-105); rec_fw is skipped at eval.
-    eval_step = make_eval_step(
-        model, ccfg, encode_text, with_loss=True,
-        coalesce=R.eval_coalesce_from_opt(opt),
-    )
+    # train.py:156 -> eval.py:101-105); rec_fw is skipped at eval. One
+    # jitted step per distinct coalesce factor (K capped by each loader's
+    # batches-per-bucket so remainder padding can't dominate).
+    _steps_by_k = {}
+
+    def eval_step_for(loader):
+        k = R.eval_coalesce_from_opt(opt, n_batches=len(loader))
+        if k not in _steps_by_k:
+            _steps_by_k[k] = make_eval_step(
+                model, ccfg, encode_text, with_loss=True, coalesce=k
+            )
+        return _steps_by_k[k]
 
     tb_writer = None
     try:
@@ -240,7 +247,7 @@ def train(args=None):
                 metrics, metrics_nms, eval_loss_meters, latest_paths = eval_epoch(
                     state.params,
                     frozen,
-                    eval_step,
+                    eval_step_for(val_loader),
                     val_loader,
                     opt,
                     fname,
