@@ -104,10 +104,13 @@ def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bo
     import jax.numpy as jnp
 
     if dtype == jnp.bfloat16:
-        # both sides long: extending the packed(+pair) kernel to the
-        # short-key t2v/enhance cross-attn sites (195 queries x 17 keys) was
-        # measured a NET LOSS — step busy 4.37 -> 5.04 ms/batch
-        # (traces/eval_co8_pair): the XLA chain there is already cheap and
-        # the kernel pads 17 keys to a 128-lane group per head
+        # both sides long. The short-key t2v/enhance sites (195 q x 17 k)
+        # resisted THREE kernel attempts, all measured in-model: straight
+        # packed layout busy 4.37 -> 5.04 ms/batch (17 keys lane-pad to 128);
+        # transposed-logits shortkey variant 4.30 -> 4.45 (0.16 ms/site vs
+        # ~0.11 XLA — per-head lane slices of the long query dominate at
+        # tiny key counts). The shortkey kernel stays in the tree (tested,
+        # attention_pallas._mha_kernel_packed_shortkey) but auto keeps XLA
+        # for any Lk < PACKED_MIN_LEN.
         return min(Lq, Lk) >= PACKED_MIN_LEN and B >= PACKED_MIN_BATCH
     return min(Lq, Lk) >= AUTO_MIN_LEN and B >= AUTO_MIN_BATCH

@@ -192,6 +192,55 @@ def _mha_kernel_packed_pair(
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _mha_kernel_packed_shortkey(
+    q_ref, k_ref, v_ref, mask_ref, qf_ref, kf_ref, o_ref, *, scale: float, heads: int
+):
+    """Packed layout for SHORT KEY sequences (t2v/enhance cross-attn: 195
+    video queries x 17 text keys). The straightforward layout lane-pads Lk
+    to 128 (7.5x VPU waste on the softmax — measured net loss); here the
+    logits live TRANSPOSED as (NB, Lk, Lq) so the long query axis fills the
+    lanes and the softmax reduces over the short sublane axis. Optional
+    factored pair mask as in _mha_kernel_packed_pair."""
+    q = q_ref[...]  # (NB, Lq, E)
+    k = k_ref[...]  # (NB, Lk, E)
+    v = v_ref[...]  # (NB, Lk, Ev)
+    NB, Lk = k.shape[0], k.shape[1]
+    mT = mask_ref[...].reshape(NB, Lk, 1)  # (NB,1,Lk) -> (NB,Lk,1)
+    E = q.shape[-1]
+    Ev = v.shape[-1]
+    hd = E // heads
+    hdv = Ev // heads
+    outs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        kh = k[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        logitsT = jax.lax.dot_general(
+            kh, qh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (NB, Lk, Lq)
+        if qf_ref is not None:
+            qfh = qf_ref[h]  # (NB, 1, Lq), broadcasts over Lk rows
+            kfh = kf_ref[h].reshape(NB, Lk, 1)
+            logitsT = jnp.where((qfh > 0) & (kfh > 0), NEG_INF, logitsT)
+        logitsT = jnp.where(mT > 0, logitsT, NEG_INF)
+        pT = jax.nn.softmax(logitsT, axis=1).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                pT, v[:, :, h * hdv:(h + 1) * hdv],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (NB, Lq, hdv)
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _shortkey_nopair(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, heads: int):
+    _mha_kernel_packed_shortkey(
+        q_ref, k_ref, v_ref, mask_ref, None, None, o_ref, scale=scale, heads=heads
+    )
+
+
 def _packed_batch_tile(B: int, Lq: int, Lk: int, E: int, Ev: int, itemsize: int) -> int:
     """Largest divisor of B fitting the packed kernel's VMEM working set:
     q/k/v/o blocks at model dtype + one head's f32 logits and softmax temp."""
@@ -250,15 +299,20 @@ def _fused_attention_impl(
             pl.BlockSpec((NB, 1, Lk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
         operands = (q, k, v, mask.reshape(B, 1, Lk))
+        # short key sequences take the transposed-logits kernel (long query
+        # axis on lanes); long keys the straight layout
+        shortkey = Lk < MIN_FUSED_LK
         if qf is not None:
-            kernel = functools.partial(_mha_kernel_packed_pair, scale=scale, heads=H)
+            body = _mha_kernel_packed_shortkey if shortkey else _mha_kernel_packed_pair
+            kernel = functools.partial(body, scale=scale, heads=H)
             in_specs += [
                 pl.BlockSpec((H, NB, 1, Lq), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, NB, 1, Lk), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
             ]
             operands += (qf.reshape(H, B, 1, Lq), kf.reshape(H, B, 1, Lk))
         else:
-            kernel = functools.partial(_mha_kernel_packed, scale=scale, heads=H)
+            body = _shortkey_nopair if shortkey else _mha_kernel_packed
+            kernel = functools.partial(body, scale=scale, heads=H)
         return pl.pallas_call(
             kernel,
             grid=(B // NB,),

@@ -161,3 +161,37 @@ def test_fused_packed_pair_factors_match_core():
             np.asarray(ours), np.asarray(ref), atol=1e-5,
             err_msg=f"B={B} Lq={Lq} Lk={Lk}",
         )
+
+
+def test_fused_packed_shortkey_matches_core():
+    """Transposed-logits short-key variant (t2v geometry: long queries, few
+    keys) vs the XLA core, with and without the factored pair mask. The
+    variant engages inside the packed branch whenever Lk < MIN_FUSED_LK."""
+    from mesm_tpu.ops.attention_pallas import _fused_attention_impl
+
+    rng = np.random.default_rng(13)
+    H = 4
+    for with_pair in (False, True):
+        q, k, v, mask = _rand_qkv(rng, B=4, Lq=96, Lk=17, E=64, Ev=64, H=H)
+        pf = None
+        qfkf = (None, None)
+        if with_pair:
+            qf = rng.random((4, H, 96)) < 0.3
+            kf = (rng.random((4, H, 17)) < 0.3) & mask[:, None, :]
+            pf = (jnp.asarray(qf), jnp.asarray(kf))
+            qfkf = (
+                jnp.asarray(qf, jnp.float32).transpose(1, 0, 2),
+                jnp.asarray(kf, jnp.float32).transpose(1, 0, 2),
+            )
+        ref = attention_core(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, jnp.asarray(mask),
+            pair_factors=pf,
+        )
+        ours = _fused_attention_impl(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask, jnp.float32), H, True, "packed", *qfkf,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=1e-5,
+            err_msg=f"with_pair={with_pair}",
+        )

@@ -46,7 +46,8 @@ def test_auto_policy_dtype_tiers(monkeypatch):
     assert not kernels.use_pallas_attention(8, 600, 600, jnp.float32)  # B < 16
     assert not kernels.use_pallas_attention(16, 195, 600, jnp.float32)  # short
     # bf16 tier: packed kernel from the flagship geometry upward, both sides
-    # long (short-key t2v sites measured a net loss, kernels.py docstring)
+    # long — three kernel attempts at the short-key t2v sites all measured
+    # net losses (kernels.py docstring), so they stay on XLA
     assert kernels.use_pallas_attention(128, 195, 195, jnp.bfloat16)
     assert kernels.use_pallas_attention(16, 600, 600, jnp.bfloat16)
     assert not kernels.use_pallas_attention(128, 195, 17, jnp.bfloat16)  # t2v keys
