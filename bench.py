@@ -199,17 +199,24 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
             if v.dtype == jnp.float32 and v.ndim >= 3 else v
             for k, v in jb_eval.items()
         }
-    step_k = make_eval_step(model, None, encode_passthrough, with_loss=False, coalesce=K)
-    log(f"[{label}] compiling + measuring coalesced path ({K} batches/dispatch)")
+    from jax.flatten_util import ravel_pytree
+
+    flat_params, params_unravel = ravel_pytree(params)
+    step_k = make_eval_step(
+        model, None, encode_passthrough, with_loss=False, coalesce=K,
+        params_unravel=params_unravel,
+    )
+    log(f"[{label}] compiling + measuring coalesced path ({K} batches/dispatch, "
+        f"flat-packed params)")
     rng0 = jax.random.PRNGKey(0)
-    r = step_k(params, {}, (jb_eval,) * K, rng0)
+    r = step_k(flat_params, {}, (jb_eval,) * K, rng0)
     jax.block_until_ready(r)
     iters = 4
     fast_k = 0.0
     for _ in range(2):  # best-of-2, as in measure()
         t0 = time.perf_counter()
         for _ in range(iters):
-            r = step_k(params, {}, (jb_eval,) * K, rng0)
+            r = step_k(flat_params, {}, (jb_eval,) * K, rng0)
         jax.block_until_ready(r)
         fast_k = max(fast_k, B * K * iters / (time.perf_counter() - t0))
     log(f"[{label}] coalesced x{K}: {fast_k:.1f} rows/s "

@@ -225,19 +225,25 @@ def inference(args=None):
         for vl in val_loaders.values():
             R.cache_text_features(vl.dataset, encode_text, frozen)
 
+    # one flat parameter buffer instead of ~190 leaf handles per dispatch
+    from jax.flatten_util import ravel_pytree
+
+    flat_params, params_unravel = ravel_pytree(params)
+
     results = {}
     steps_by_k: Dict[int, object] = {}  # one jitted step per distinct K
     for split, loader in val_loaders.items():
         k = R.eval_coalesce_from_opt(opt, n_batches=len(loader))
         if k not in steps_by_k:
             steps_by_k[k] = make_eval_step(
-                model, None, encode_text, with_loss=False, coalesce=k
+                model, None, encode_text, with_loss=False, coalesce=k,
+                params_unravel=params_unravel,
             )
         eval_step = steps_by_k[k]
         save_name = f"{opt.dataset_name}_{split}_test_submission.jsonl"
         t0 = time.time()
         metrics, metrics_nms, _, _ = eval_epoch(
-            params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
+            flat_params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
         )
         logger.info(f"[{split}] eval wall time {time.time() - t0:.1f}s")
         logger.info(

@@ -130,15 +130,21 @@ def _mha_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, he
     hdv = Ev // heads
     outs = []
     for h in range(heads):
-        qh = q[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-        kh = k[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        qh = (q[:, :, h * hd:(h + 1) * hd] * jnp.asarray(scale, q.dtype))
+        kh = k[:, :, h * hd:(h + 1) * hd]
         logits = jax.lax.dot_general(
             qh, kh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            # Mosaic requires a 32-bit matmul accumulator; for bf16 inputs
+            # the result is immediately rounded to bf16 storage — the same
+            # precision as the XLA chain's bf16-stored logits — so the
+            # softmax below runs at the VPU's 2x bf16 element rate. The
+            # kernel is softmax-VPU-bound (~16 of 17 us per grid step), so
+            # this is the dominant in-kernel lever. fp32 inputs keep f32.
             preferred_element_type=jnp.float32,
-        )  # (NB, Lq, Lk)
-        logits = jnp.where(m > 0, logits, NEG_INF)
-        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        ).astype(q.dtype)  # (NB, Lq, Lk)
+        logits = jnp.where(m > 0, logits, jnp.asarray(NEG_INF, logits.dtype))
+        p = _softmax_lastdim(logits).astype(v.dtype)
         outs.append(
             jax.lax.dot_general(
                 p, v[:, :, h * hdv:(h + 1) * hdv],
@@ -147,6 +153,18 @@ def _mha_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, he
             )
         )
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _softmax_lastdim(logits):
+    """Max-subtracted softmax in the logits' own dtype, with an f32 sum.
+
+    For bf16 logits this runs the max/exp elementwise stages at the VPU's
+    2x bf16 rate; the denominator accumulates in f32 (195 terms of <= 1.0,
+    bf16-rounded — matches the XLA chain's bf16-stored-logits numerics)."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    return e / s.astype(e.dtype)
 
 
 def _mha_kernel_packed_pair(

@@ -147,6 +147,7 @@ def make_eval_step(
     encode_text_fn: EncodeTextFn,
     with_loss: bool,
     coalesce: int = 1,
+    params_unravel=None,
 ):
     """Returns jitted eval_step(params, frozen_text, batch, rng) -> preds[, losses].
 
@@ -163,6 +164,13 @@ def make_eval_step(
     Values are identical to K per-batch calls (same rng per batch, as
     compute_mr_results already passes). The returned callable carries a
     `.coalesce` attribute so the eval driver knows the expected arity.
+
+    params_unravel (from jax.flatten_util.ravel_pytree): when given, the
+    step takes the RAVELED 1-D parameter vector instead of the pytree and
+    unravels it in-program. On hosts where dispatch cost scales with the
+    argument-handle count (this environment's remote relay: ~190 param
+    leaves per call), one flat buffer replaces ~190 handles per dispatch;
+    the in-program unravel is a few dynamic slices over HBM.
     """
 
     def eval_step(params, frozen_text, batch, rng):
@@ -196,17 +204,23 @@ def make_eval_step(
             return preds, losses
         return preds, {}
 
+    def _params(p):
+        return params_unravel(p) if params_unravel is not None else p
+
     if coalesce <= 1:
-        jitted = jax.jit(eval_step)
+        @jax.jit
+        def jitted(params, frozen_text, batch, rng):
+            return eval_step(_params(params), frozen_text, batch, rng)
 
         def fn(params, frozen_text, batch, rng):
             return jitted(params, frozen_text, batch, rng)
     else:
         @jax.jit
         def multi(params, frozen_text, batches, rng):
+            p = _params(params)  # unravel once, outside the scan body
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
             return jax.lax.map(
-                lambda b: eval_step(params, frozen_text, b, rng), stacked
+                lambda b: eval_step(p, frozen_text, b, rng), stacked
             )
 
         def fn(params, frozen_text, batches, rng):
@@ -216,5 +230,6 @@ def make_eval_step(
             return multi(params, frozen_text, tuple(batches), rng)
 
     fn.coalesce = max(1, coalesce)
+    fn.packs_params = params_unravel is not None
     return fn
 

@@ -209,12 +209,16 @@ def train(args=None):
     # jitted step per distinct coalesce factor (K capped by each loader's
     # batches-per-bucket so remainder padding can't dominate).
     _steps_by_k = {}
+    from jax.flatten_util import ravel_pytree
+
+    _, _params_unravel = ravel_pytree(state.params)
 
     def eval_step_for(loader):
         k = R.eval_coalesce_from_opt(opt, n_batches=len(loader))
         if k not in _steps_by_k:
             _steps_by_k[k] = make_eval_step(
-                model, ccfg, encode_text, with_loss=True, coalesce=k
+                model, ccfg, encode_text, with_loss=True, coalesce=k,
+                params_unravel=_params_unravel,
             )
         return _steps_by_k[k]
 
@@ -245,7 +249,7 @@ def train(args=None):
                 logger.info(f"Evaluating {key} split")
                 fname = f"{key}_latest_{opt.dataset_name}_val_preds.jsonl"
                 metrics, metrics_nms, eval_loss_meters, latest_paths = eval_epoch(
-                    state.params,
+                    ravel_pytree(state.params)[0],
                     frozen,
                     eval_step_for(val_loader),
                     val_loader,

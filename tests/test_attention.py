@@ -195,3 +195,19 @@ def test_fused_packed_shortkey_matches_core():
             np.asarray(ours), np.asarray(ref), atol=1e-5,
             err_msg=f"with_pair={with_pair}",
         )
+
+
+def test_fused_packed_bf16_close_to_core():
+    """bf16 packed kernel (bf16-stored logits + bf16 softmax stages, f32
+    denominator) vs the bf16 XLA core — same storage precision, so outputs
+    agree to bf16 rounding."""
+    from mesm_tpu.ops.attention_pallas import _fused_attention_impl
+
+    rng = np.random.default_rng(17)
+    q, k, v, mask = _rand_qkv(rng, B=4, Lq=96, Lk=96, E=64, Ev=64)
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    ref = attention_core(qb, kb, vb, 4, jnp.asarray(mask)).astype(jnp.float32)
+    ours = _fused_attention_impl(
+        qb, kb, vb, jnp.asarray(mask, jnp.float32), 4, True, "packed"
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=0.03, rtol=0.03)

@@ -162,3 +162,41 @@ def test_compute_mr_results_coalesced_equals_sequential():
             np.asarray(rc["pred_saliency_scores"]),
             atol=1e-4,
         )
+
+
+def test_packed_params_step_matches_pytree():
+    """make_eval_step(params_unravel=...) consumes the raveled parameter
+    vector and matches the pytree-parameter step (single and coalesced)."""
+    from jax.flatten_util import ravel_pytree
+
+    model = tiny_model()
+    batches = [device_batch(s) for s in (4, 5)]
+    params = init_params(model, batches[0])
+    flat, unravel = ravel_pytree(params)
+    rng = jax.random.PRNGKey(2)
+
+    ref_step = make_eval_step(model, None, encode_text, with_loss=False)
+    flat_step = make_eval_step(
+        model, None, encode_text, with_loss=False, params_unravel=unravel
+    )
+    assert flat_step.packs_params and not ref_step.packs_params
+    p1, _ = ref_step(params, {}, batches[0], rng)
+    p2, _ = flat_step(flat, {}, batches[0], rng)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p2[key]), np.asarray(p1[key]), rtol=1e-5, atol=1e-5,
+            err_msg=key,
+        )
+
+    flat_k = make_eval_step(
+        model, None, encode_text, with_loss=False, coalesce=2,
+        params_unravel=unravel,
+    )
+    pk, _ = flat_k(flat, {}, tuple(batches), rng)
+    for j, b in enumerate(batches):
+        pj, _ = ref_step(params, {}, b, rng)
+        for key in pj:
+            np.testing.assert_allclose(
+                np.asarray(pk[key][j]), np.asarray(pj[key]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{key}[{j}]",
+            )
