@@ -156,6 +156,13 @@ class BaseOptions:
                        help="number of video-length buckets at eval; each "
                             "batch pads to the smallest fitting bucket "
                             "(one jit specialization per bucket). 1 = off")
+        p.add_argument("--loader_mode", type=str, default="thread",
+                       choices=["thread", "process"],
+                       help="loader workers: 'thread' (GIL-releasing HDF5/"
+                            "numpy; default) or 'process' (fork pool, for "
+                            "multi-core hosts where collate's Python work "
+                            "bottlenecks — like the reference's DataLoader "
+                            "workers)")
         p.add_argument("--eval_coalesce", type=int, default=-1,
                        help="eval batches per device dispatch: K same-shape "
                             "batches run through one compiled program "
@@ -203,7 +210,7 @@ class BaseOptions:
                     "trained_result_dir", "inference_id", "inference_result_dir",
                     "n_devices", "compute_dtype", "pallas_attention", "cache_text",
                     "eval_len_buckets", "dedup_video", "row_capacity",
-                    "eval_coalesce"}
+                    "eval_coalesce", "loader_mode"}
             for key, value in saved.items():
                 if key not in keep:
                     setattr(opt, key, value)

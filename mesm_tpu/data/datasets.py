@@ -222,11 +222,22 @@ class BaseDataset:
         """Per-item generator, deterministic regardless of loader thread
         scheduling: keyed on (seed, index, visit-count-of-index). Mirrors the
         reference's reproducibility stance (train.py:32-39) without sharing a
-        Generator across threads."""
+        Generator across threads.
+
+        Process-pool loaders fork workers whose visit counts are frozen
+        copies of the parent's; the parent advances `_epoch_offset`
+        (advance_epoch, called by Loader._iter_process before each fork) so
+        every epoch still draws fresh randomness, identically regardless of
+        which worker serves the index."""
         with self._rng_lock:
             visit = self._visit_counts.get(index, 0)
             self._visit_counts[index] = visit + 1
-        return np.random.default_rng((self._seed, index, visit))
+        return np.random.default_rng(
+            (self._seed, index, visit + getattr(self, "_epoch_offset", 0))
+        )
+
+    def advance_epoch(self):
+        self._epoch_offset = getattr(self, "_epoch_offset", 0) + 1
 
     def __getitem__(self, index: int) -> Dict:
         meta = self.merged_data[index]

@@ -34,6 +34,18 @@ class FeatureStore:
         self.normalize = normalize
         self._local = threading.local()
 
+    def __getstate__(self):
+        # picklable across processes (spawn-style pools / checkpoint tooling):
+        # drop the thread-local handle set; the pid check in _handles()
+        # re-opens lazily on the other side
+        state = dict(self.__dict__)
+        state.pop("_local", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
     def _handles(self) -> Dict[str, "h5py.File"]:
         # one handle set per (process, thread); re-open after fork (h5py
         # handles cannot cross processes) and never share across threads

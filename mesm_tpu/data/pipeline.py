@@ -14,8 +14,32 @@ from typing import Callable, Iterator
 
 _SENTINEL = object()
 
+# fork-inherited loader for process-pool workers (_iter_process): set in the
+# parent immediately before the fork so children see it without pickling the
+# dataset/tokenizer graph; workers only ever receive index lists.
+_worker_loader = None
+
+
+def _process_worker_build(idx_batch):
+    return _worker_loader._build(idx_batch)
+
 
 class Loader:
+    """Batch loader with three worker modes:
+
+    - thread (default): a small thread pool; HDF5 and numpy release the GIL
+      for the heavy parts, and per-thread HDF5 handles let reads overlap.
+    - process: a fork-based worker pool for hosts where collate's Python
+      work (tokenizing, mask assembly) is the bottleneck — the reference
+      uses torch DataLoader worker processes the same way (runner.py:88-98).
+      Workers never touch JAX; FeatureStore re-opens its HDF5 handles after
+      the fork (data/hdf5.py pid check). Built batches return to the parent
+      via pickle, so feature-heavy batches pay an IPC copy — on this image's
+      single-core host the thread mode measures faster; process mode exists
+      for real multi-core TPU hosts (--loader_mode).
+    - anything with num_workers <= 1: synchronous.
+    """
+
     def __init__(
         self,
         dataset,
@@ -23,22 +47,49 @@ class Loader:
         collate: Callable,
         num_workers: int = 2,
         prefetch: int = 3,
+        mode: str = "thread",
     ):
         self.dataset = dataset
         self.batcher = batcher
         self.collate = collate
         self.num_workers = max(num_workers, 1)
         self.prefetch = max(prefetch, 1)
+        self.mode = mode
 
     def _build(self, idx_batch):
         entries = [self.dataset[i] for i in idx_batch]
         return self.collate(entries)
+
+    def _iter_process(self, batches) -> Iterator:
+        import multiprocessing as mp
+
+        # forked workers never report visits back to the parent, so advance
+        # the dataset's epoch offset here to keep per-epoch randomness fresh
+        advance = getattr(self.dataset, "advance_epoch", None)
+        if advance is not None:
+            advance()
+
+        global _worker_loader
+        _worker_loader = self
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(self.num_workers)
+        try:
+            # imap preserves batch order; bounded internally by the pool
+            for built in pool.imap(_process_worker_build, batches, chunksize=1):
+                yield built
+        finally:
+            pool.terminate()
+            pool.join()
+            _worker_loader = None
 
     def __iter__(self) -> Iterator:
         batches = list(self.batcher)
         if self.num_workers <= 1:
             for idxs in batches:
                 yield self._build(idxs)
+            return
+        if self.mode == "process":
+            yield from self._iter_process(batches)
             return
 
         in_q: "queue.Queue" = queue.Queue()

@@ -145,7 +145,8 @@ def build_loaders(opt, vocab=None, splits: str = "train+val"):
         batcher_cls = GroupAwareBatcher if opt.max_gather_size > 0 else RowBudgetBatcher
         batcher = batcher_cls(train_ds, train_spec.row_capacity, shuffle=True, seed=opt.seed)
         train_loader = Loader(
-            train_ds, batcher, make_collate(train_spec), num_workers=min(opt.num_workers, 4)
+            train_ds, batcher, make_collate(train_spec), num_workers=min(opt.num_workers, 4),
+            mode=getattr(opt, "loader_mode", "thread"),
         )
 
     val_loaders = {}
@@ -162,7 +163,8 @@ def build_loaders(opt, vocab=None, splits: str = "train+val"):
             # quantile buckets above most batches skip the global cap
             batcher.sort_by_length = len(spec.video_buckets) > 1
             val_loaders[split] = Loader(
-                ds, batcher, make_collate(spec), num_workers=min(opt.num_workers, 4)
+                ds, batcher, make_collate(spec), num_workers=min(opt.num_workers, 4),
+                mode=getattr(opt, "loader_mode", "thread"),
             )
             val_specs[split] = spec
     return train_loader, train_spec, val_loaders, val_specs

@@ -212,6 +212,34 @@ def test_loader_threaded_matches_serial(charades_root):
         np.testing.assert_array_equal(sb["video_mask"], tb["video_mask"])
 
 
+def test_loader_process_pool_matches_serial(charades_root):
+    """Fork-based process-pool loader mode: same batches, same order; HDF5
+    handles re-open per process (data/hdf5.py pid check), batches return via
+    pickle. Also covers FeatureStore picklability (__getstate__)."""
+    import pickle
+
+    ds = make_charades(charades_root)
+    pickle.loads(pickle.dumps(ds.store))  # FeatureStore round-trips
+    spec = BatchSpec(row_capacity=8, max_video_l=20, group_capacity=3)
+    collate = make_collate(spec)
+    # process mode advances the dataset's epoch offset before forking (fresh
+    # per-epoch randomness without worker->parent visit reporting), so its
+    # FIRST epoch keys RNG like a serial SECOND pass: compare against that
+    b1 = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
+    list(Loader(ds, b1, collate, num_workers=1))  # pass 0 (discard)
+    b1b = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
+    serial = list(Loader(ds, b1b, collate, num_workers=1))  # pass 1
+    ds2 = make_charades(charades_root)
+    b2 = RowBudgetBatcher(ds2, row_capacity=8, shuffle=False)
+    procs = list(Loader(ds2, b2, collate, num_workers=2, mode="process"))
+    assert len(serial) == len(procs)
+    for (sb, sm), (pb, pm) in zip(serial, procs):
+        assert sm["qid"] == pm["qid"]
+        assert set(sb) == set(pb)
+        for k in sb:
+            np.testing.assert_array_equal(sb[k], pb[k], err_msg=k)
+
+
 # ---------------------------------------------------------------------------
 # CLIP BPE tokenizer with a tiny synthetic merge table
 # ---------------------------------------------------------------------------
