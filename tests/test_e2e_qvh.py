@@ -112,3 +112,23 @@ def test_qvh_train_and_eval(tmp_path):
     assert np.isfinite(total)
     # hungarian + triplet + multi-window losses all present
     assert "loss_rec_ss" in line and "loss_saliency" in line
+
+
+def test_qvh_train_and_eval_coalesced(tmp_path):
+    """Same e2e run with --eval_coalesce 2: the multi-clip (qvh) eval path —
+    list-of-window targets, 3-annotator saliency, and the device-side
+    ss_video_feat group expansion added by device_feed — must survive the
+    scanned coalesced step (on TPU the auto policy coalesces by default;
+    value-equivalence of coalescing itself is proven in test_coalesce.py)."""
+    cfg_path = make_qvh_root(str(tmp_path))
+    from mesm_tpu.train import train
+
+    state, opt = train(["--config_file", cfg_path, "--eval_coalesce", "2"])
+    run_dir = opt.result_dir
+    subs = [f for f in os.listdir(run_dir) if f.endswith("val_preds.jsonl")]
+    assert subs, f"no submission written in {os.listdir(run_dir)}"
+    with open(os.path.join(run_dir, subs[0])) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) > 0
+    for r in rows[:3]:
+        assert np.isfinite(np.asarray(r["pred_relevant_windows"])).all()
