@@ -148,6 +148,26 @@ class Loader:
         return len(self.batcher)
 
 
+def stage_batch(batch, cast_bf16: bool):
+    """Host batch -> device batch: optional bf16 cast of float feature
+    tensors before transfer, plus the qvh per-group SS video expansion."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jb = {}
+    for k, v in batch.items():
+        a = np.asarray(v)
+        if cast_bf16 and a.dtype == np.float32 and a.ndim >= 3:
+            a = a.astype(jnp.bfloat16)
+        jb[k] = jax.device_put(a)
+    if "ss_video_feat_groups" in jb:
+        jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
+        jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
+        del jb["ss_group_slot"]
+    return jb
+
+
 def device_feed(loader, compute_dtype=None, depth: int = 2):
     """Stage host batches onto the device ahead of consumption.
 
@@ -167,17 +187,7 @@ def device_feed(loader, compute_dtype=None, depth: int = 2):
     cast = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
 
     def put(batch):
-        jb = {}
-        for k, v in batch.items():
-            a = np.asarray(v)
-            if cast and a.dtype == np.float32 and a.ndim >= 3:
-                a = a.astype(jnp.bfloat16)
-            jb[k] = jax.device_put(a)
-        if "ss_video_feat_groups" in jb:
-            jb["ss_video_feat"] = jb.pop("ss_video_feat_groups")[jb["ss_group_slot"]]
-            jb["ss_video_mask"] = jb.pop("ss_video_mask_groups")[jb["ss_group_slot"]]
-            del jb["ss_group_slot"]
-        return jb
+        return stage_batch(batch, cast)
 
     from collections import deque
 

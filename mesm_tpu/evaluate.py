@@ -64,6 +64,47 @@ def _batch_signature(jb):
     return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in jb.items()))
 
 
+def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
+    """Pre-compile the eval step for every distinct batch shape CONCURRENTLY.
+
+    Each length bucket is its own XLA specialization; compiled lazily they
+    serialize (~1-10 min total through a remote-compile service). Compiles
+    overlap well in threads (measured ~2.3x for 3 concurrent), so this walks
+    the loader host-side, stages ONE batch per shape signature, and fires
+    all compilations at once. The warm executions' outputs are discarded."""
+    import threading
+
+    from .data.pipeline import stage_batch
+    from .runner import compute_dtype_from_opt
+    import jax.numpy as jnp
+
+    cast = jnp.dtype(compute_dtype_from_opt(opt)) == jnp.bfloat16
+    host_sigs = set()
+    staged = []
+    for batch, _meta in loader:
+        sig = tuple(sorted((k, np.asarray(v).shape) for k, v in batch.items()))
+        if sig not in host_sigs:
+            host_sigs.add(sig)
+            staged.append(stage_batch(batch, cast))
+    if len(staged) <= 1:
+        return  # single shape: nothing to overlap
+    k = getattr(eval_step, "coalesce", 1)
+
+    def compile_one(jb):
+        arg = (jb,) * k if k > 1 else jb
+        r = eval_step(params, frozen, arg, rng)
+        jax.block_until_ready(r)
+
+    logger.info(f"Pre-compiling {len(staged)} eval-step shapes concurrently...")
+    t0 = time.time()
+    threads = [threading.Thread(target=compile_one, args=(jb,)) for jb in staged]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    logger.info(f"Pre-compiled in {time.time() - t0:.1f}s")
+
+
 def compute_mr_results(params, frozen, eval_step, loader, opt, rng, loss_meters=None):
     """Run the jitted eval step over a loader and decode submissions on host.
 
@@ -242,6 +283,11 @@ def inference(args=None):
         eval_step = steps_by_k[k]
         save_name = f"{opt.dataset_name}_{split}_test_submission.jsonl"
         t0 = time.time()
+        if jax.default_backend() != "cpu":  # compiles are the slow part on TPU
+            warm_eval_step(
+                flat_params, frozen, eval_step, loader, opt,
+                jax.random.PRNGKey(opt.seed),
+            )
         metrics, metrics_nms, _, _ = eval_epoch(
             flat_params, frozen, eval_step, loader, opt, save_name, loader.dataset.data
         )

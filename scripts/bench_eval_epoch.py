@@ -158,6 +158,12 @@ def main():
     log(f"coalesce={eval_step.coalesce} over {len(loader)} batches")
     opt.sort_results = True
 
+    from mesm_tpu.evaluate import warm_eval_step
+
+    t0 = time.perf_counter()
+    warm_eval_step(params, frozen, eval_step, loader, opt, jrandom.PRNGKey(0))
+    log(f"concurrent pre-compile: {time.perf_counter() - t0:.1f}s")
+
     n_rows = sum(len(e["video_id"]) for e in loader.dataset.merged_data)
     # best-of-3 timed epochs: this environment's relay/host interference is
     # one-sided and varies minute-to-minute by up to 3x (measured 53-172

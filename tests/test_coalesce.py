@@ -200,3 +200,32 @@ def test_packed_params_step_matches_pytree():
                 np.asarray(pk[key][j]), np.asarray(pj[key]),
                 rtol=1e-5, atol=1e-5, err_msg=f"{key}[{j}]",
             )
+
+
+def test_warm_eval_step_compiles_all_shapes():
+    """warm_eval_step stages one batch per shape signature and pre-compiles
+    concurrently; the subsequent real pass must produce identical results."""
+    from mesm_tpu.evaluate import compute_mr_results, warm_eval_step
+
+    model = tiny_model()
+    host = [
+        (jax.device_get(device_batch(s, lv)), _meta(f"w{s}", B))
+        for s, lv in ((1, Lv), (2, Lv + 8), (3, Lv))
+    ]
+    loader = list(host)
+    params = init_params(model, {k: jnp.asarray(v) for k, v in host[0][0].items()})
+    opt = types.SimpleNamespace(
+        sort_results=True, clip_len=1, max_ts_val=100, compute_dtype="float32"
+    )
+    rng = jax.random.PRNGKey(7)
+    step = make_eval_step(model, None, encode_text, with_loss=False, coalesce=2)
+
+    base = compute_mr_results(params, {}, step, loader, opt, rng)
+    warm_eval_step(params, {}, step, loader, opt, rng)  # 2 distinct shapes
+    warmed = compute_mr_results(params, {}, step, loader, opt, rng)
+    assert [r["qid"] for r in base] == [r["qid"] for r in warmed]
+    for rb, rw in zip(base, warmed):
+        np.testing.assert_allclose(
+            np.asarray(rb["pred_relevant_windows"]),
+            np.asarray(rw["pred_relevant_windows"]), atol=1e-6,
+        )
