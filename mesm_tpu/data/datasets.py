@@ -218,6 +218,18 @@ class BaseDataset:
 
         return min(max(int(_math.ceil(dur / self.clip_len)), 1), self.max_video_l)
 
+    def __getstate__(self):
+        # process-pool loader workers receive the dataset by pickle
+        # (forkserver context, data/pipeline.py); the thread lock can't make
+        # the trip and each worker wants its own anyway
+        state = self.__dict__.copy()
+        state.pop("_rng_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._rng_lock = __import__("threading").Lock()
+
     def item_rng(self, index: int) -> np.random.Generator:
         """Per-item generator, deterministic regardless of loader thread
         scheduling: keyed on (seed, index, visit-count-of-index). Mirrors the

@@ -14,10 +14,15 @@ from typing import Callable, Iterator
 
 _SENTINEL = object()
 
-# fork-inherited loader for process-pool workers (_iter_process): set in the
-# parent immediately before the fork so children see it without pickling the
-# dataset/tokenizer graph; workers only ever receive index lists.
+# Per-WORKER loader (each pool worker process gets its own copy via the pool
+# initializer below; nothing is shared through the parent's module state, so
+# two process-mode loaders can iterate concurrently).
 _worker_loader = None
+
+
+def _process_worker_init(loader):
+    global _worker_loader
+    _worker_loader = loader
 
 
 def _process_worker_build(idx_batch):
@@ -63,16 +68,27 @@ class Loader:
     def _iter_process(self, batches) -> Iterator:
         import multiprocessing as mp
 
-        # forked workers never report visits back to the parent, so advance
-        # the dataset's epoch offset here to keep per-epoch randomness fresh
-        advance = getattr(self.dataset, "advance_epoch", None)
-        if advance is not None:
-            advance()
+        # Pool workers never report item visits back to the parent, so
+        # per-epoch randomness comes from the dataset's epoch offset instead:
+        # the FIRST process-mode epoch pins the offset at 0 (matching thread
+        # mode's epoch-0 visit counts, so both modes draw the same
+        # augmentation stream), later epochs advance it.
+        ds = self.dataset
+        if hasattr(ds, "advance_epoch"):
+            if getattr(ds, "_epoch_offset", None) is None:
+                ds._epoch_offset = 0
+            else:
+                ds.advance_epoch()
 
-        global _worker_loader
-        _worker_loader = self
-        ctx = mp.get_context("fork")
-        pool = ctx.Pool(self.num_workers)
+        # forkserver, not fork: the parent holds a live (multithreaded) JAX
+        # runtime, and forking it can deadlock in the child (inherited lock
+        # state). The forkserver's children are forked from a clean helper
+        # process; the loader reaches each worker by pickle via the pool
+        # initializer (dataset/collate implement __getstate__ as needed).
+        ctx = mp.get_context("forkserver")
+        pool = ctx.Pool(
+            self.num_workers, initializer=_process_worker_init, initargs=(self,)
+        )
         try:
             # imap preserves batch order; bounded internally by the pool
             for built in pool.imap(_process_worker_build, batches, chunksize=1):
@@ -80,7 +96,6 @@ class Loader:
         finally:
             pool.terminate()
             pool.join()
-            _worker_loader = None
 
     def __iter__(self) -> Iterator:
         batches = list(self.batcher)

@@ -213,31 +213,43 @@ def test_loader_threaded_matches_serial(charades_root):
 
 
 def test_loader_process_pool_matches_serial(charades_root):
-    """Fork-based process-pool loader mode: same batches, same order; HDF5
-    handles re-open per process (data/hdf5.py pid check), batches return via
-    pickle. Also covers FeatureStore picklability (__getstate__)."""
+    """Process-pool loader mode (forkserver context): same batches, same
+    order, same rng stream as serial/thread mode — the first process-mode
+    epoch pins the dataset's epoch offset at 0 so item_rng keys match
+    thread-mode epoch 0 (pipeline._iter_process), and the fixture's
+    contra_samples=2 means pos_idx/neg_idx actually exercise that rng.
+    Also covers loader picklability (dataset __getstate__ drops the thread
+    lock, FeatureStore re-opens handles, Collate is a module-level class)."""
     import pickle
 
     ds = make_charades(charades_root)
     pickle.loads(pickle.dumps(ds.store))  # FeatureStore round-trips
     spec = BatchSpec(row_capacity=8, max_video_l=20, group_capacity=3)
     collate = make_collate(spec)
-    # process mode advances the dataset's epoch offset before forking (fresh
-    # per-epoch randomness without worker->parent visit reporting), so its
-    # FIRST epoch keys RNG like a serial SECOND pass: compare against that
+    pickle.loads(pickle.dumps(collate))  # collate must survive the worker trip
     b1 = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
-    list(Loader(ds, b1, collate, num_workers=1))  # pass 0 (discard)
-    b1b = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
-    serial = list(Loader(ds, b1b, collate, num_workers=1))  # pass 1
+    serial = list(Loader(ds, b1, collate, num_workers=1))  # epoch 0
     ds2 = make_charades(charades_root)
+    pickle.loads(pickle.dumps(ds2))  # whole dataset round-trips
     b2 = RowBudgetBatcher(ds2, row_capacity=8, shuffle=False)
-    procs = list(Loader(ds2, b2, collate, num_workers=2, mode="process"))
+    loader2 = Loader(ds2, b2, collate, num_workers=2, mode="process")
+    procs = list(loader2)  # process epoch 0 == serial epoch 0
+    assert any("pos_idx" in sb for sb, _ in serial)  # rng path is exercised
     assert len(serial) == len(procs)
     for (sb, sm), (pb, pm) in zip(serial, procs):
         assert sm["qid"] == pm["qid"]
         assert set(sb) == set(pb)
         for k in sb:
             np.testing.assert_array_equal(sb[k], pb[k], err_msg=k)
+    # epoch 1 advances the offset: fresh randomness, still deterministic
+    b3 = RowBudgetBatcher(ds2, row_capacity=8, shuffle=False)
+    procs1 = list(Loader(ds2, b3, collate, num_workers=2, mode="process"))
+    assert ds2._epoch_offset == 1
+    changed = False
+    for (pb0, _), (pb1, _) in zip(procs, procs1):
+        if "pos_idx" in pb0 and not np.array_equal(pb0["pos_idx"], pb1["pos_idx"]):
+            changed = True
+    assert changed, "epoch 1 should redraw contra samples"
 
 
 # ---------------------------------------------------------------------------
