@@ -143,6 +143,33 @@ class SegSenRecon(nn.Module):
         return recon_feat, x
 
 
+def gumbel_mask_words_choice(
+    rng: jax.Array, words_mask: jnp.ndarray, words_weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Choose max(l//3, 1) word positions per row, weighted WITHOUT
+    replacement, as a (B, L) bool mask.
+
+    Reference model/model.py:361-384 loops rows on host calling
+    np.random.choice(l, m, replace=False, p=w/sum(w)) — sequential weighted
+    sampling without replacement. The weighted Gumbel top-k below draws from
+    the IDENTICAL distribution: taking the top-m of log(w_i) + Gumbel_i is
+    the Plackett-Luce / exponential-race equivalence for successive weighted
+    draws without replacement, so the chosen SET has the same law.
+    tests/test_mask_words_distribution.py pins this with a chi-square test
+    against both np.random.choice and the exact enumeration, including the
+    words_weight=2 POS bias. Rows with l <= 1 are left unchosen
+    (reference :372-373)."""
+    lengths = words_mask.sum(axis=1)  # (B,)
+    num_masked = jnp.maximum(lengths // 3, 1)
+    w = words_weight.astype(jnp.float32) * words_mask
+    eligible = w > 0
+    g = jax.random.gumbel(rng, w.shape)
+    scores = jnp.where(eligible, jnp.log(jnp.maximum(w, 1e-30)) + g, -jnp.inf)
+    order = jnp.argsort(-scores, axis=1)
+    ranks = jnp.argsort(order, axis=1)  # rank of each position by score
+    return (ranks < num_masked[:, None]) & eligible & (lengths[:, None] > 1)
+
+
 class MESM(nn.Module):
     cfg: MESMConfig
 
@@ -246,15 +273,9 @@ class MESM(nn.Module):
             self.masked_token[None, None, :].astype(projed_words.dtype),
             deterministic=deterministic,
         )  # (1, 1, d)
-        lengths = words_mask.sum(axis=1)  # (B,)
-        num_masked = jnp.maximum(lengths // 3, 1)
-        w = words_weight.astype(jnp.float32) * words_mask
-        eligible = w > 0
-        g = jax.random.gumbel(self.make_rng("mask_words"), w.shape)
-        scores = jnp.where(eligible, jnp.log(jnp.maximum(w, 1e-30)) + g, -jnp.inf)
-        order = jnp.argsort(-scores, axis=1)
-        ranks = jnp.argsort(order, axis=1)  # rank of each position by score
-        chosen = (ranks < num_masked[:, None]) & eligible & (lengths[:, None] > 1)
+        chosen = gumbel_mask_words_choice(
+            self.make_rng("mask_words"), words_mask, words_weight
+        )
         out = jnp.where(chosen[..., None], masked_token, projed_words)
         return out, chosen
 
