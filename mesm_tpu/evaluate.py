@@ -70,8 +70,18 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
     Each length bucket is its own XLA specialization; compiled lazily they
     serialize (~1-10 min total through a remote-compile service). Compiles
     overlap well in threads (measured ~2.3x for 3 concurrent), so this walks
-    the loader host-side, stages ONE batch per shape signature, and fires
-    all compilations at once. The warm executions' outputs are discarded."""
+    the loader host-side (cheap — the whole 999-row synthetic epoch builds in
+    ~0.6 s; deriving bucket signatures without data would duplicate the
+    collate's shape logic), stages ONE batch per shape signature, and fires
+    all compilations at once. The warm executions' outputs are discarded.
+
+    Two side-effect guards: the dataset's per-item visit counts are restored
+    afterwards so this extra pass does not shift rng-dependent items (contra
+    sampling) between the warm and the timed pass, and each staged device
+    batch is dropped as soon as its compile thread finishes (threading.Thread
+    clears its args reference when run() returns) instead of all staying
+    resident until the last compile lands."""
+    import contextvars
     import threading
 
     from .data.pipeline import stage_batch
@@ -79,6 +89,8 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
     import jax.numpy as jnp
 
     cast = jnp.dtype(compute_dtype_from_opt(opt)) == jnp.bfloat16
+    ds = getattr(loader, "dataset", None)
+    visits_before = dict(getattr(ds, "_visit_counts", {}) or {})
     host_sigs = set()
     staged = []
     for batch, _meta in loader:
@@ -86,18 +98,27 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
         if sig not in host_sigs:
             host_sigs.add(sig)
             staged.append(stage_batch(batch, cast))
+    if hasattr(ds, "_visit_counts"):
+        ds._visit_counts = visits_before
     if len(staged) <= 1:
         return  # single shape: nothing to overlap
     k = getattr(eval_step, "coalesce", 1)
 
-    def compile_one(jb):
+    def compile_one(jb, ctx):
+        # each thread runs under its own COPY of the caller's context so the
+        # kernels.pallas_scope mode is visible during tracing (a Context
+        # object is single-entry — it cannot be shared across threads)
         arg = (jb,) * k if k > 1 else jb
-        r = eval_step(params, frozen, arg, rng)
+        r = ctx.run(eval_step, params, frozen, arg, rng)
         jax.block_until_ready(r)
 
     logger.info(f"Pre-compiling {len(staged)} eval-step shapes concurrently...")
     t0 = time.time()
-    threads = [threading.Thread(target=compile_one, args=(jb,)) for jb in staged]
+    threads = [
+        threading.Thread(target=compile_one, args=(jb, contextvars.copy_context()))
+        for jb in staged
+    ]
+    staged = None  # threads hold the only refs now; released per-compile
     for t in threads:
         t.start()
     for t in threads:
@@ -234,8 +255,13 @@ def inference(args=None):
     opt = TestOptions().parse(args)
     from . import kernels
 
-    kernels.set_pallas_attention(opt.pallas_attention)
+    # config-scoped, not process-global: a concurrent session in the same
+    # process (e.g. train thread) keeps its own mode
+    with kernels.pallas_scope(opt.pallas_attention):
+        return _inference_body(opt)
 
+
+def _inference_body(opt):
     compute_dtype = R.compute_dtype_from_opt(opt)
     vocab = R.get_vocab(opt)
     _, _, val_loaders, _ = R.build_loaders(opt, vocab, splits="val")

@@ -35,9 +35,42 @@ models/attention.py routes through them only for deterministic calls
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 
-_MODE: str = "auto"  # "auto" | "on" | "off"
+# Dispatch mode resolution: a context-local override (pallas_scope) wins over
+# the process-wide default (set_pallas_attention). The override is a
+# ContextVar so two sessions sharing one process (e.g. concurrent eval+train
+# threads) can hold different modes without fighting over a module global;
+# code that spawns worker threads and needs them to see the scoped mode must
+# propagate the context (contextvars.copy_context().run), as
+# evaluate.warm_eval_step does.
+_DEFAULT_MODE: str = "auto"  # "auto" | "on" | "off"
+_MODE_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "mesm_pallas_mode", default=None
+)
+
+
+def _normalize_mode(enabled) -> str:
+    if enabled is None or enabled == "auto":
+        return "auto"
+    if enabled in (True, "on"):
+        return "on"
+    return "off"
+
+
+@contextlib.contextmanager
+def pallas_scope(enabled):
+    """Context-local kernel-dispatch mode: True/'on', False/'off', None/'auto'.
+
+    Overrides the process default for the current thread/context only."""
+    token = _MODE_OVERRIDE.set(_normalize_mode(enabled))
+    try:
+        yield
+    finally:
+        _MODE_OVERRIDE.reset(token)
 
 # fp32 tier (v3 "batched" variant): long geometries only — at L=195 fp32 the
 # batched kernel loses to XLA (round-1 measurement, see module docstring)
@@ -50,13 +83,65 @@ PACKED_MIN_BATCH = 8
 # normalized axis is wide enough that re-reading the input dominates (the
 # 2818-wide raw video features; hidden-size 256 blocks stay on XLA)
 LN_DENSE_MIN_D = 1024
+# packed all-heads SHORT-KEY formulation (models/attention.py
+# attention_core_shortkey): one dense matmul over block-diagonally packed
+# keys replaces the bqhd,bkhd->bhqk einsum at the t2v/enhance sites
+# (~195 q x ~17 k), killing the (B,H,L,hd) relayout churn there. Pure XLA
+# (differentiable). Bounds: only short keys benefit (F = H*Lk lanes must
+# stay small), queries long enough that the relayout being killed matters.
+SHORTKEY_MAX_LK = 64
+SHORTKEY_MIN_LQ = 64
+SHORTKEY_MIN_B = 8
+# packed all-heads SHORT-QUERY formulation (attention_core_shortquery):
+# SS-recon (~3 q x 194 k) and decoder cross-attn (10 q x 195 k) sites
+SHORTQUERY_MAX_LQ = 32
+SHORTQUERY_MIN_LK = 64
+# int8 FFN (ops/quant.py int8_dense): dynamic-quantized eval-only FFN
+# matmuls on the 2x-rate int8 MXU path. OFF until the in-model trace shows a
+# win AND scripts/tpu_check.py metric parity holds with it enabled; flip via
+# set_int8_ffn / the --quantize_ffn flag.
+INT8_FFN: bool = False
+
+
+def set_int8_ffn(enabled: bool) -> None:
+    global INT8_FFN
+    INT8_FFN = bool(enabled)
+
+
+def use_int8_ffn() -> bool:
+    if pallas_mode() == "off":
+        return False
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return INT8_FFN and on_tpu
+
+
+# softmax stage of the shortkey path: "reshape" = grouped softmax via a
+# (B,Lq,H,Lk) view; "segmm" = segment sums via tiny matmuls, tensors stay
+# (B,Lq,F); "kernel" = the v5 one-matmul Pallas kernel
+# (attention_pallas.fused_attention_shortkey). All value-parity tested.
+# Measured in-model on v5e (round 3, charades bf16 co8 traces r3_*):
+#   control (no shortkey)  4.286 ms/batch busy
+#   reshape                4.465  (f32 (B,Lq,H,Lk) grouped-softmax
+#                                  intermediates materialize batch-minor)
+#   segmm                  4.103  (-4.3% vs control) <- default
+#   segmm + (F,F)-ones     4.213  (one-matmul sum+broadcast loses to the
+#                                  two thin matmuls, trace r3_segmm2)
+#   kernel (v5)            4.534  (0.12-0.15 ms/site vs ~0.11 XLA, and the
+#                                  L-minor copies it aimed at turned out to
+#                                  come from the SS-recon/decoder sites ->
+#                                  see use_shortquery_packed)
+SHORTKEY_VARIANT = "segmm"
 
 
 def use_fused_ln_dense(D: int) -> bool:
     """Dispatch for the fused LayerNorm->Dense input-projection kernel."""
-    if _MODE == "off":
+    mode = pallas_mode()
+    if mode == "off":
         return False
-    if _MODE == "on":
+    if mode == "on":
         return True
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -66,18 +151,58 @@ def use_fused_ln_dense(D: int) -> bool:
 
 
 def set_pallas_attention(enabled) -> None:
-    """Accepts True/'on', False/'off', or None/'auto'."""
-    global _MODE
-    if enabled is None or enabled == "auto":
-        _MODE = "auto"
-    elif enabled in (True, "on"):
-        _MODE = "on"
-    else:
-        _MODE = "off"
+    """Set the PROCESS-WIDE default mode: True/'on', False/'off', None/'auto'.
+
+    For per-session isolation inside one process use pallas_scope instead."""
+    global _DEFAULT_MODE
+    _DEFAULT_MODE = _normalize_mode(enabled)
 
 
 def pallas_mode() -> str:
-    return _MODE
+    override = _MODE_OVERRIDE.get()
+    return override if override is not None else _DEFAULT_MODE
+
+
+def use_shortkey_packed(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
+    """Dispatch for the packed all-heads short-key attention formulation
+    (models/attention.attention_core_shortkey). Rides the same mode switch
+    as the Pallas kernels so 'off' still means the reference-shaped XLA
+    chain everywhere (the metric-parity lever). Never overlaps
+    use_pallas_attention: that tier needs min(Lq, Lk) >= 128."""
+    mode = pallas_mode()
+    if mode == "off":
+        return False
+    in_range = Lk <= SHORTKEY_MAX_LK and Lq >= SHORTKEY_MIN_LQ and B >= SHORTKEY_MIN_B
+    if mode == "on":
+        return in_range
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return on_tpu and in_range
+
+
+def use_shortquery_packed(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
+    """Dispatch for the packed all-heads short-QUERY formulation
+    (models/attention.attention_core_shortquery): SS-recon cross-attn
+    (~3 q x 194 k) and decoder cross-attn (10 q x 195 k). Head-splitting
+    the LONG key/value there flips the video stream into L-minor layouts
+    (~0.45 ms/batch of copies, traces/r3_segmm); packing the tiny query
+    keeps k/v untouched. Never overlaps the other tiers: Pallas needs
+    min(Lq, Lk) >= 128, shortkey needs Lq >= 64."""
+    mode = pallas_mode()
+    if mode == "off":
+        return False
+    in_range = (
+        Lq <= SHORTQUERY_MAX_LQ and Lk >= SHORTQUERY_MIN_LK and B >= SHORTKEY_MIN_B
+    )
+    if mode == "on":
+        return in_range
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return on_tpu and in_range
 
 
 def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
@@ -91,13 +216,14 @@ def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bo
     - bf16 -> v4 "packed" variant from L >= 128 (charades 128x8x195x195:
       step busy 4.74 -> 4.37 ms/batch; layout churn removed).
     The variant itself is selected by dtype in attention_pallas.fused_attention."""
-    if _MODE == "off":
+    mode = pallas_mode()
+    if mode == "off":
         return False
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
         on_tpu = False
-    if _MODE == "on":
+    if mode == "on":
         return True
     if not on_tpu:
         return False

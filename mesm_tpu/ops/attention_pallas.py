@@ -259,6 +259,163 @@ def _shortkey_nopair(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, head
     )
 
 
+def _mha_kernel_shortkey_onematmul(
+    q_ref, kp_ref, vp_ref, valid_ref, qf_ref, kf_ref, o_ref, *, scale: float,
+    heads: int, lk: int
+):
+    """v5 "one-matmul" short-key kernel (t2v/enhance sites: ~195 q x ~17 k).
+
+    ALL heads' logits come from ONE dense matmul against the block-diagonally
+    head-packed keys kp (E, F=H*Lk) — logits[q, h*Lk+j] is head h's logit —
+    so there are no per-head lane slices anywhere (the measured blocker of
+    the three round-2 short-key kernels). The segmented softmax subtracts the
+    GLOBAL row max (per-segment softmax is shift-invariant; a fully-masked
+    segment underflows to sum 0 and takes the reference's uniform-over-keys
+    fallback), gets per-segment sums with two thin MXU matmuls against the
+    segment indicator, and AV is one dense matmul against the packed values
+    vp (F, Ev). Operands stay model-native (B, L, E)-shaped at the custom
+    call, which also pins XLA to standard {2,1,0} layouts at the boundary —
+    the XLA-side chain otherwise flips the whole video stream L-minor
+    (measured ~0.45 ms/batch of copies, traces/r3_segmm)."""
+    q = q_ref[...]  # (NB, Lq, E)
+    kp = kp_ref[...]  # (NB, E, F)
+    vp = vp_ref[...]  # (NB, F, Ev)
+    valid = valid_ref[...]  # (NB, 1, F) f32, 1 = attendable
+    NB, Lq, E = q.shape
+    F = kp.shape[-1]
+    H = heads
+
+    logits = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), kp,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (NB, Lq, F) f32
+    if qf_ref is not None:
+        # expand qf (NB, Lq, H) to lanes via a thin matmul with the segment
+        # indicator; pair (q, f) is disallowed iff qf & kf
+        expand = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, F), 1) // lk
+            == jax.lax.broadcasted_iota(jnp.int32, (H, F), 0)
+        ).astype(jnp.float32)
+        qf_f = jax.lax.dot_general(
+            qf_ref[...], expand,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NB, Lq, F)
+        dis = (qf_f > 0) & (kf_ref[...] > 0)
+        logits = jnp.where(dis, NEG_INF, logits)
+    logits = jnp.where(valid > 0, logits, NEG_INF)
+
+    gmax = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - gmax)  # fully-masked rows underflow to exactly 0
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // lk
+        == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1)
+    ).astype(jnp.float32)
+    sums = jax.lax.dot_general(
+        e, seg, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (NB, Lq, H)
+    sums_f = jax.lax.dot_general(
+        sums, seg, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (NB, Lq, F)
+    p = jnp.where(sums_f > 0.0, e / sums_f, 1.0 / lk).astype(vp.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, vp, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _shortkey_onematmul_nopair(q_ref, kp_ref, vp_ref, valid_ref, o_ref, *, scale, heads, lk):
+    _mha_kernel_shortkey_onematmul(
+        q_ref, kp_ref, vp_ref, valid_ref, None, None, o_ref,
+        scale=scale, heads=heads, lk=lk,
+    )
+
+
+def _shortkey_onematmul_tile(B, Lq, E, F, Ev, itemsize):
+    """Largest divisor of B fitting the one-matmul kernel's VMEM set: q/kp/
+    vp/o at model dtype + ~3 (Lq, F) f32 softmax temps per sample."""
+    pad128 = lambda n: -128 * (-n // 128)
+    per_sample = (
+        (Lq * E + E * pad128(F) + pad128(F) * Ev + Lq * Ev) * itemsize
+        + Lq * pad128(F) * 4 * 3
+    )
+    cap = max(1, int(10e6 // per_sample))
+    for nb in range(min(cap, 8, B), 0, -1):
+        if B % nb == 0:
+            return nb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_attention_shortkey(
+    q, k, v, num_heads: int, key_valid_mask=None, pair_factors=None,
+    interpret: bool = False,
+):
+    """Host wrapper for the v5 one-matmul short-key kernel: packs k/v
+    block-diagonally over heads on the XLA side (tiny tensors — measured
+    0.015 ms/batch per site, traces/r3_segmm) and launches the kernel on
+    model-native (B, L, E) operands. pair_factors as in attention_core:
+    ((B,H,Lq), (B,H,Lk)) bool."""
+    B, Lq, E = q.shape
+    Lk = k.shape[1]
+    Ev = v.shape[-1]
+    H = num_heads
+    hd, hdv = E // H, Ev // H
+    scale = hd**-0.5
+    F = H * Lk
+
+    S = (jnp.arange(E)[:, None] // hd == jnp.arange(H)[None, :]).astype(k.dtype)
+    kp = (k.transpose(0, 2, 1)[:, :, None, :] * S[None, :, :, None]).reshape(B, E, F)
+    T = (jnp.arange(H)[:, None] == jnp.arange(Ev)[None, :] // hdv).astype(v.dtype)
+    vp = (v[:, None, :, :] * T[None, :, None, :]).reshape(B, F, Ev)
+    if key_valid_mask is None:
+        valid = jnp.ones((B, 1, F), jnp.float32)
+    else:
+        valid = jnp.tile(key_valid_mask.astype(jnp.float32), (1, H)).reshape(B, 1, F)
+
+    NB = _shortkey_onematmul_tile(B, Lq, E, F, Ev, q.dtype.itemsize)
+    cost = pl.CostEstimate(
+        flops=2 * B * Lq * F * (E + Ev + 2 * H),
+        bytes_accessed=q.dtype.itemsize * B * (Lq * E + E * F + F * Ev + Lq * Ev),
+        transcendentals=B * Lq * F,
+    )
+    in_specs = [
+        pl.BlockSpec((NB, Lq, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, E, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, F, Ev), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, 1, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = (q, kp, vp, valid)
+    if pair_factors is not None:
+        qf, kf = pair_factors
+        qfT = qf.astype(jnp.float32).transpose(0, 2, 1)  # (B, Lq, H)
+        kf_f = kf.astype(jnp.float32).reshape(B, 1, F)
+        in_specs += [
+            pl.BlockSpec((NB, Lq, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += (qfT, kf_f)
+        kernel = functools.partial(
+            _mha_kernel_shortkey_onematmul, scale=scale, heads=H, lk=Lk
+        )
+    else:
+        kernel = functools.partial(
+            _shortkey_onematmul_nopair, scale=scale, heads=H, lk=Lk
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((NB, Lq, Ev), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, Ev), v.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*operands)
+
+
 def _packed_batch_tile(B: int, Lq: int, Lk: int, E: int, Ev: int, itemsize: int) -> int:
     """Largest divisor of B fitting the packed kernel's VMEM working set:
     q/k/v/o blocks at model dtype + one head's f32 logits and softmax temp."""
@@ -409,6 +566,52 @@ def _fused_attention_impl(
             interpret=interpret,
         )(qh, kh, vh, mask3)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, Ev)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_trainable(q, k, v, num_heads, key_valid_mask=None, pair_factors=None):
+    """Differentiable wrapper over the fused kernel (flash-style remat VJP).
+
+    pallas_call carries no autodiff rule, so the kernel was inference-only
+    through round 2 (kernels.py). This wrapper gives it one: the FORWARD runs
+    the measured-fastest path (fused_attention, which itself dispatches
+    kernel vs XLA by shape), and the BACKWARD recomputes the XLA core under
+    jax.vjp from the saved (q, k, v, mask) residuals — standard
+    flash-attention rematerialization. Gradients are exactly the XLA core's
+    (tests/test_attention.py grad-parity), and the (B, H, Lq, Lk) attention
+    weights are never stored between forward and backward. Dropout is the
+    caller's problem: only dropout-free attention may route here
+    (models/attention.dispatch_attention_core)."""
+    return fused_attention(
+        q, k, v, num_heads=num_heads, key_valid_mask=key_valid_mask,
+        pair_factors=pair_factors,
+    )
+
+
+def _fat_fwd(q, k, v, num_heads, key_valid_mask=None, pair_factors=None):
+    out = fused_attention(
+        q, k, v, num_heads=num_heads, key_valid_mask=key_valid_mask,
+        pair_factors=pair_factors,
+    )
+    return out, (q, k, v, key_valid_mask, pair_factors)
+
+
+def _fat_bwd(num_heads, res, g):
+    from ..models.attention import attention_core
+
+    q, k, v, mask, pair = res
+
+    def f(q, k, v):
+        return attention_core(
+            q, k, v, num_heads=num_heads, key_valid_mask=mask, pair_factors=pair
+        )
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+fused_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 def fused_attention(

@@ -128,8 +128,13 @@ def _weight_map(opt):
 def train(args=None):
     opt = BaseOptions().parse(args)
     set_seed(opt.seed)
-    kernels.set_pallas_attention(opt.pallas_attention)
+    # config-scoped kernel dispatch (see kernels.pallas_scope): a concurrent
+    # eval session in this process keeps its own mode
+    with kernels.pallas_scope(opt.pallas_attention):
+        return _train_body(opt)
 
+
+def _train_body(opt):
     compute_dtype = R.compute_dtype_from_opt(opt)
     vocab = R.get_vocab(opt)
     train_loader, train_spec, val_loaders, _ = R.build_loaders(opt, vocab)

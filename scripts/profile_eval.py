@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--coalesce", type=int, default=1,
                     help="trace the dispatch-coalesced eval step (K batches "
                          "per dispatch via make_eval_step, as shipped)")
+    ap.add_argument("--no-shortkey", action="store_true",
+                    help="disable the packed short-key attention formulation "
+                         "(A/B control)")
+    ap.add_argument("--shortkey-variant", default=None,
+                    choices=["reshape", "segmm", "kernel"])
+    ap.add_argument("--int8-ffn", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -32,6 +38,12 @@ def main():
     from mesm_tpu import kernels
 
     kernels.set_pallas_attention(args.kernels)
+    if args.no_shortkey:
+        kernels.SHORTKEY_MIN_B = 10**9
+    if args.shortkey_variant:
+        kernels.SHORTKEY_VARIANT = args.shortkey_variant
+    if args.int8_ffn:
+        kernels.set_int8_ffn(True)
 
     if args.geometry == "charades":
         B, Lv, Dv, Lw, Dt = 128, 194, 2818, 16, 512
