@@ -96,10 +96,20 @@ SHORTKEY_MIN_B = 8
 # SS-recon (~3 q x 194 k) and decoder cross-attn (10 q x 195 k) sites
 SHORTQUERY_MAX_LQ = 32
 SHORTQUERY_MIN_LK = 64
-# int8 FFN (ops/quant.py int8_dense): dynamic-quantized eval-only FFN
-# matmuls on the 2x-rate int8 MXU path. OFF until the in-model trace shows a
-# win AND scripts/tpu_check.py metric parity holds with it enabled; flip via
-# set_int8_ffn / the --quantize_ffn flag.
+# int8 FFN — MEASURED NEGATIVE on v5e, default OFF. Three formulations, all
+# in-model traced at the flagship geometry (baseline FFN = 0.137 ms/site,
+# simultaneously ~99% of the bf16 MXU roofline AND ~HBM roofline):
+#   - XLA int8_dense per-matmul (ops/quant.py): busy 3.708 -> 4.267 (the
+#     bf16 hidden tensor still round-trips HBM, quant ops add on top);
+#   - fused Pallas kernel, f32 quant chain (ops/ffn_pallas.py): 0.137/site —
+#     parity: the int8 MXU saving is exactly eaten by f32 VPU quant work on
+#     the 25M-element hidden tile (trace r3_ffnk);
+#   - same kernel, bf16 quant chain: 0.20/site (trace r3_ffnk5) — the f32
+#     round hop + mixed-precision chain vectorizes worse, and Mosaic has no
+#     bf16 roundeven/sign/i1-select lowering to avoid it.
+# Conclusion: at hidden 256->1024 the FFN is already dual-roofline-bound and
+# int8's MXU headroom cannot be banked. Kept in-tree (tested) for future
+# hardware; flip via set_int8_ffn.
 INT8_FFN: bool = False
 
 

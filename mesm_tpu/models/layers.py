@@ -226,20 +226,51 @@ class FFN(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         act = make_activation(self.activation)()
         fan_in = x.shape[-1]
-        x = nn.Dense(
+        d1 = nn.Dense(
             self.dim_feedforward,
             kernel_init=self.kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
             dtype=self.dtype,
             name="linear1",
-        )(x)
-        x = act(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(
+        )
+        d2 = nn.Dense(
             self.d_model,
             kernel_init=self.kernel_init,
             bias_init=torch_linear_bias_init(self.dim_feedforward),
             dtype=self.dtype,
             name="linear2",
-        )(x)
+        )
+        from mesm_tpu import kernels
+
+        n_rows = x.size // x.shape[-1]
+        if (
+            deterministic
+            and self.activation == "prelu"
+            and n_rows >= 4096  # tiny FFNs (decoder 10-query, SS-recon) stay on XLA
+            and kernels.use_int8_ffn()
+        ):
+            # Fused int8 FFN Pallas kernel (ops/ffn_pallas.py): int8 MXU
+            # matmuls + VMEM-resident hidden activation. Params are created
+            # by the REAL submodules on a 1-row slice (tiny compute, DCE'd),
+            # then read raw from this bound module — checkpoint layout
+            # unchanged. Dropout is a no-op when deterministic, elided.
+            import jax
+
+            from ..ops.ffn_pallas import ffn_int8
+
+            tiny = x.reshape(-1, x.shape[-1])[:1]
+            _ = d2(act(d1(tiny)))
+            p = self.variables["params"]
+            return ffn_int8(
+                x,
+                p["linear1"]["kernel"], p["linear1"]["bias"],
+                p["PReLU_0"]["alpha"],
+                p["linear2"]["kernel"], p["linear2"]["bias"],
+                interpret=jax.default_backend() == "cpu",
+            )
+
+        x = d1(x)
+        x = act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = d2(x)
         return x
