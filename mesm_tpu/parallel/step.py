@@ -148,6 +148,7 @@ def make_eval_step(
     with_loss: bool,
     coalesce: int = 1,
     params_unravel=None,
+    superbatch: bool = False,
 ):
     """Returns jitted eval_step(params, frozen_text, batch, rng) -> preds[, losses].
 
@@ -164,6 +165,15 @@ def make_eval_step(
     Values are identical to K per-batch calls (same rng per batch, as
     compute_mr_results already passes). The returned callable carries a
     `.coalesce` attribute so the eval driver knows the expected arity.
+
+    superbatch=True (with coalesce=K > 1) takes the K batches PRE-STACKED:
+    one dict whose leaves carry a leading K axis (data/pipeline.py
+    stage_superbatch builds it host-side with one np.stack + one transfer
+    per field). Two wins over the tuple form on dispatch-overhead-bound
+    hosts: ~15 argument handles per dispatch instead of K*15, and the
+    in-program jnp.stack of K batches disappears (measured 0.18 ms/batch
+    of device time at the charades flagship geometry). Values are identical
+    to the tuple form — same scanned program after the stack.
 
     params_unravel (from jax.flatten_util.ravel_pytree): when given, the
     step takes the RAVELED 1-D parameter vector instead of the pytree and
@@ -214,6 +224,20 @@ def make_eval_step(
 
         def fn(params, frozen_text, batch, rng):
             return jitted(params, frozen_text, batch, rng)
+    elif superbatch:
+        @jax.jit
+        def multi_sb(params, frozen_text, stacked, rng):
+            p = _params(params)  # unravel once, outside the scan body
+            return jax.lax.map(
+                lambda b: eval_step(p, frozen_text, b, rng), stacked
+            )
+
+        def fn(params, frozen_text, stacked, rng):
+            lead = {k: v.shape[0] for k, v in stacked.items()}
+            assert set(lead.values()) == {coalesce}, (
+                f"superbatch eval step expects leading axis {coalesce}, got {lead}"
+            )
+            return multi_sb(params, frozen_text, stacked, rng)
     else:
         @jax.jit
         def multi(params, frozen_text, batches, rng):
@@ -230,6 +254,7 @@ def make_eval_step(
             return multi(params, frozen_text, tuple(batches), rng)
 
     fn.coalesce = max(1, coalesce)
+    fn.superbatch = superbatch and coalesce > 1
     fn.packs_params = params_unravel is not None
     return fn
 

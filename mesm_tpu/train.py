@@ -223,7 +223,7 @@ def _train_body(opt):
         if k not in _steps_by_k:
             _steps_by_k[k] = make_eval_step(
                 model, ccfg, encode_text, with_loss=True, coalesce=k,
-                params_unravel=_params_unravel,
+                params_unravel=_params_unravel, superbatch=True,
             )
         return _steps_by_k[k]
 

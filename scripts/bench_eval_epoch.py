@@ -154,6 +154,7 @@ def main():
     eval_step = make_eval_step(
         model, None, encode_text, with_loss=False,
         coalesce=R.eval_coalesce_from_opt(opt, n_batches=len(loader)),
+        superbatch=True,
     )
     log(f"coalesce={eval_step.coalesce} over {len(loader)} batches")
     opt.sort_results = True

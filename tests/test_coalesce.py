@@ -229,3 +229,67 @@ def test_warm_eval_step_compiles_all_shapes():
             np.asarray(rb["pred_relevant_windows"]),
             np.asarray(rw["pred_relevant_windows"]), atol=1e-6,
         )
+
+
+def test_superbatch_step_and_driver_match_tuple_form():
+    """make_eval_step(superbatch=True) consumes ONE pre-stacked dict (leading
+    K axis, built host-side by stage_superbatch) and matches the tuple-form
+    coalesced step; compute_mr_results' superbatch branch (host-side grouping
+    + one stacked transfer per group) matches the sequential driver."""
+    from mesm_tpu.data.pipeline import stage_superbatch
+    from mesm_tpu.evaluate import compute_mr_results
+
+    model = tiny_model()
+    batches = [device_batch(s) for s in (11, 12)]
+    params = init_params(model, batches[0])
+    rng = jax.random.PRNGKey(3)
+
+    tup = make_eval_step(model, None, encode_text, with_loss=False, coalesce=2)
+    sb = make_eval_step(
+        model, None, encode_text, with_loss=False, coalesce=2, superbatch=True
+    )
+    assert sb.superbatch and not tup.superbatch
+    host = [jax.device_get(b) for b in batches]
+    stacked = stage_superbatch(host, cast_bf16=False)
+    p_sb, _ = sb(params, {}, stacked, rng)
+    p_tup, _ = tup(params, {}, tuple(batches), rng)
+    for key in p_tup:
+        np.testing.assert_allclose(
+            np.asarray(p_sb[key]), np.asarray(p_tup[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+
+    # driver: same 3+2 shape layout as the tuple-form driver test (signature
+    # flush + padded remainder groups)
+    hostb = [
+        (jax.device_get(device_batch(s, lv)), _meta(f"sb{s}", B))
+        for s, lv in ((1, Lv), (2, Lv), (3, Lv), (4, Lv + 8), (5, Lv + 8))
+    ]
+    params2 = init_params(model, {k: jnp.asarray(v) for k, v in hostb[0][0].items()})
+    opt = types.SimpleNamespace(
+        sort_results=True, clip_len=1, max_ts_val=100, compute_dtype="float32"
+    )
+    rng2 = jax.random.PRNGKey(4)
+    seq = compute_mr_results(
+        params2, {}, make_eval_step(model, None, encode_text, with_loss=False),
+        list(hostb), opt, rng2,
+    )
+    sup = compute_mr_results(
+        params2, {},
+        make_eval_step(
+            model, None, encode_text, with_loss=False, coalesce=2,
+            superbatch=True,
+        ),
+        list(hostb), opt, rng2,
+    )
+    assert [r["qid"] for r in seq] == [r["qid"] for r in sup]
+    for rs, rc in zip(seq, sup):
+        assert rs["vid"] == rc["vid"] and rs["query"] == rc["query"]
+        np.testing.assert_allclose(
+            np.asarray(rs["pred_relevant_windows"]),
+            np.asarray(rc["pred_relevant_windows"]), atol=1.1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rs["pred_saliency_scores"]),
+            np.asarray(rc["pred_saliency_scores"]), atol=1e-4,
+        )
