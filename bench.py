@@ -34,7 +34,7 @@ def log(msg):
 
 
 def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
-                         n_groups=None, dtype="float32"):
+                         n_groups=None, dtype="float32", dropout=0.1):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +46,7 @@ def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
         hidden_dim=hidden, v_feat_dim=Dv, t_feat_dim=Dt, nheads=heads,
         dim_feedforward=ffn, num_queries=10, max_words_l=Lw, max_video_l=Lv,
         num_classes=1114, rec_fw=True, rec_ss=True, aux_loss=True,
+        dropout=dropout,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
     model = MESM(cfg)
@@ -88,19 +89,28 @@ def shape_only_params(model, args, kw, is_training=False):
     return jax.device_put(params, jax.devices()[0])
 
 
-def measure(fn, first_args, B, iters=20, warmup=3, rounds=2):
+def measure(fn, arg_sets, B, iters=20, warmup=3, rounds=2):
     """Best-of-`rounds` throughput: host/relay interference only ever ADDS
-    wall time on this shared single-core host, so max is the honest reading."""
+    wall time on this shared single-core host, so max is the honest reading.
+
+    arg_sets: EITHER one args tuple OR a list of >= 2 distinct pre-staged
+    tuples to cycle through. Cycling distinct inputs defeats execution
+    memoization in the dispatch path — round 3 observed identical repeated
+    AOT submissions returning physically impossible walls (0.19 ms for a
+    3.7 ms-busy step, 859% "MFU") while a jit loop with varying state
+    measured an honest 5.4 ms (probe: block-last vs device_get agree)."""
     import jax
 
+    if not isinstance(arg_sets, list):
+        arg_sets = [arg_sets]
     for _ in range(warmup):
-        r = fn(*first_args)
+        r = fn(*arg_sets[0])
     jax.block_until_ready(r)
     best = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*first_args)
+        for i in range(iters):
+            r = fn(*arg_sets[i % len(arg_sets)])
         jax.block_until_ready(r)
         best = max(best, B * iters / (time.perf_counter() - t0))
     return best
@@ -154,7 +164,11 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     # AOT-compile so the same executable provides the timing AND the XLA FLOPs
     # estimate for MFU accounting (one compile, not two)
     compiled = make_fn(compute_neg=False, dedup=True).lower(params, *args).compile()
-    fast = measure(compiled, (params, *args), B)
+    # two distinct input sets (see measure): a tiny pre-staged perturbation
+    import jax.numpy as _jnp
+
+    args_b = args[:4] + (args[4] + _jnp.asarray(1e-3, args[4].dtype),) + args[5:]
+    fast = measure(compiled, [(params, *args), (params, *args_b)], B)
     log(f"[{label}] optimized: {fast:.1f} rows/s")
     try:
         ca = compiled.cost_analysis()
@@ -170,6 +184,12 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
                 f"[{label}] XLA flops/step {flops:.3e} ({flops / B:.3e}/row) -> "
                 f"{achieved / 1e12:.2f} TFLOP/s achieved, MFU {mfu * 100:.2f}% of bf16 peak"
             )
+            if mfu > 0.95:
+                log(
+                    f"[{label}] WARNING: MFU > 95% is physically implausible — "
+                    "the dispatch path returned without executing (see "
+                    "measure() docstring); this reading must be discarded"
+                )
             eval_bench.last_mfu = {
                 "flops_per_row": flops / B, "achieved_tflops": achieved / 1e12,
                 "mfu_pct_bf16_peak": mfu * 100,
@@ -204,19 +224,31 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     flat_params, params_unravel = ravel_pytree(params)
     step_k = make_eval_step(
         model, None, encode_passthrough, with_loss=False, coalesce=K,
-        params_unravel=params_unravel,
+        params_unravel=params_unravel, superbatch=True,
     )
     log(f"[{label}] compiling + measuring coalesced path ({K} batches/dispatch, "
-        f"flat-packed params)")
+        f"superbatch-stacked, flat-packed params)")
     rng0 = jax.random.PRNGKey(0)
-    r = step_k(flat_params, {}, (jb_eval,) * K, rng0)
+    # two distinct superbatches (cycled) — see measure() on why identical
+    # repeated submissions cannot be trusted on this dispatch path. Each is
+    # pre-staged as ONE stacked dict (leading K axis): ~15 argument handles
+    # per dispatch instead of K*15, and no in-program batch stack.
+    jb_eval_b = dict(jb_eval)
+    jb_eval_b["sentence_feat"] = jb_eval["sentence_feat"] + jnp.asarray(
+        1e-3, jb_eval["sentence_feat"].dtype
+    )
+    supers = [
+        jax.device_put(jax.tree.map(lambda x: jnp.stack([x] * K), b))
+        for b in (jb_eval, jb_eval_b)
+    ]
+    r = step_k(flat_params, {}, supers[0], rng0)
     jax.block_until_ready(r)
     iters = 4
     fast_k = 0.0
     for _ in range(2):  # best-of-2, as in measure()
         t0 = time.perf_counter()
-        for _ in range(iters):
-            r = step_k(flat_params, {}, (jb_eval,) * K, rng0)
+        for i in range(iters):
+            r = step_k(flat_params, {}, supers[i % 2], rng0)
         jax.block_until_ready(r)
         fast_k = max(fast_k, B * K * iters / (time.perf_counter() - t0))
     log(f"[{label}] coalesced x{K}: {fast_k:.1f} rows/s "
@@ -246,7 +278,10 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     if base is None:
         kernels.set_pallas_attention(False)
         log(f"[{label}] compiling + measuring faithful-port baseline (fp32)")
-        base = measure(make_fn(compute_neg=True, m=model_f32), (params, *args), B)
+        base = measure(
+            make_fn(compute_neg=True, m=model_f32),
+            [(params, *args), (params, *args_b)], B,
+        )
         log(f"[{label}] baseline: {base:.1f} rows/s")
         import datetime
 
@@ -259,17 +294,25 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     return fast, base
 
 
-def train_bench(B=32):
-    """Fused train step at charades geometry: forward (stacked neg pass) +
-    on-device matching + all five losses + grad clip + AdamW."""
+def train_bench(B=32, geometry="charades", dropout=0.1, label="train"):
+    """Fused train step: forward (stacked neg pass) + on-device matching +
+    all five losses + grad clip + AdamW.
+
+    geometry='tacos' + dropout=0.0 is the configuration where the packed
+    attention kernel's custom_vjp path ENGAGES in training (fp32 tier needs
+    Lv >= 512; reference configs keep attention dropout 0.1, which forces
+    the XLA core — correctly, since dropout must ride XLA's rng)."""
     import jax
     import jax.numpy as jnp
 
     from mesm_tpu.losses import CriterionConfig
     from mesm_tpu.parallel.step import TrainState, build_optimizer, make_train_step
 
-    Lv, Dv, Lw, Dt = 194, 2818, 16, 512
-    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt)
+    if geometry == "charades":
+        Lv, Dv, Lw, Dt = 194, 2818, 16, 512
+    else:
+        Lv, Dv, Lw, Dt = 600, 4098, 16, 300
+    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt, dropout=dropout)
     jb["words_label"] = jb["words_label"] % cfg.num_classes
     jb["row_mask"] = jnp.ones((B,), bool)
     ccfg = CriterionConfig(
@@ -287,7 +330,7 @@ def train_bench(B=32):
         unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
         ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
     )
-    log("[train] shape-only param init")
+    log(f"[{label}] shape-only param init")
     params = shape_only_params(model, args, kw, is_training=True)
     tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
     state = TrainState(
@@ -296,7 +339,7 @@ def train_bench(B=32):
     train_step = make_train_step(model, ccfg, encode_text, tx)
     rng = jax.random.PRNGKey(7)
 
-    log("[train] compiling + measuring fused train step (long compile)")
+    log(f"[{label}] compiling + measuring fused train step (long compile)")
     for _ in range(3):
         state, metrics = train_step(state, {}, jb, rng)
     jax.block_until_ready(metrics["loss_overall"])
@@ -307,7 +350,107 @@ def train_bench(B=32):
     jax.block_until_ready(metrics["loss_overall"])
     dt = time.perf_counter() - t0
     rows = B * iters / dt
-    log(f"[train] {dt / iters * 1e3:.1f} ms/step = {rows:.1f} rows/s")
+    log(f"[{label}] {dt / iters * 1e3:.1f} ms/step = {rows:.1f} rows/s")
+    return rows, dt / iters * 1e3
+
+
+def train_baseline_bench(B=32):
+    """Faithful-port TRAIN baseline: the reference's train-step semantics
+    expressed in XLA on the same chip — fp32, XLA attention (kernels off),
+    and the reference's PER-STEP DEVICE->HOST MATCHER SYNC reproduced
+    faithfully: reference model/matcher.py:106-117 moves the cost matrix to
+    CPU and solves the (degenerate single-target) LSAP with scipy inside
+    every criterion call (main + each aux decoder layer, criterion.py:333,
+    348-363). Here the cost matrix leaves the device through an ordered
+    io_callback, the argmin runs on host numpy (the 1-column LSAP solution),
+    and the result re-enters the XLA program — one genuine round-trip per
+    match, inside one forward+backward like torch's retained graph. The
+    loss is also pulled to host every step (reference float(loss) meters,
+    train.py:75-77)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import io_callback
+
+    from mesm_tpu import kernels
+    from mesm_tpu.losses import CriterionConfig
+    from mesm_tpu.losses import criterion as C
+    from mesm_tpu.ops import matcher as M
+    from mesm_tpu.parallel.step import TrainState, build_optimizer, make_train_step
+
+    Lv, Dv, Lw, Dt = 194, 2818, 16, 512
+    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt, dtype="float32")
+    jb["words_label"] = jb["words_label"] % cfg.num_classes
+    jb["row_mask"] = jnp.ones((B,), bool)
+    ccfg = CriterionConfig(
+        span_coef=10.0, giou_coef=1.0, label_coef=4.0, saliency_coef=4.0,
+        recfw_coef=0.1, recss_coef=0.1,
+    )
+
+    def encode_text(frozen, b):
+        return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+    def host_single_target_lsap(cost):
+        # the reference's single-clip path: each sample's 1-column LSAP on CPU
+        return np.argmin(np.asarray(cost), axis=1).astype(np.int32)
+
+    # custom_vjp shields the io_callback from JVP tracing (io_callback has no
+    # JVP rule even under stop_gradient); match indices carry no gradient,
+    # exactly like the reference's detached scipy result
+    @jax.custom_vjp
+    def host_match_cb(cost):
+        return io_callback(
+            host_single_target_lsap,
+            jax.ShapeDtypeStruct((cost.shape[0],), jnp.int32),
+            cost, ordered=True,
+        )
+
+    host_match_cb.defvjp(
+        lambda cost: (host_match_cb(cost), cost),
+        lambda cost, g: (jnp.zeros_like(cost),),
+    )
+
+    def faithful_match(pred_logits, pred_spans, batch, mcfg):
+        cost = M._pair_cost(
+            pred_logits, pred_spans,
+            batch["norm_span"][:, None, :], batch["norm_moment"][:, None, :],
+            mcfg.cost_span, mcfg.cost_giou, mcfg.cost_class,
+        )[:, :, 0]  # (B, nq)
+        return host_match_cb(cost)
+
+    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"], jb["words_mask"],
+            jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    log("[train-baseline] shape-only param init")
+    params = shape_only_params(model, args, kw, is_training=True)
+    tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+    orig_match = C._match
+    C._match = faithful_match
+    try:
+        with kernels.pallas_scope("off"):
+            train_step = make_train_step(model, ccfg, encode_text, tx)
+            rng = jax.random.PRNGKey(7)
+            log("[train-baseline] compiling + measuring (host-sync matcher, fp32)")
+            for _ in range(3):
+                state, metrics = train_step(state, {}, jb, rng)
+            jax.block_until_ready(metrics["loss_overall"])
+            iters = 20
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = train_step(state, {}, jb, rng)
+                float(metrics["loss_overall"])  # reference per-step meter sync
+            dt = time.perf_counter() - t0
+    finally:
+        C._match = orig_match
+    rows = B * iters / dt
+    log(f"[train-baseline] {dt / iters * 1e3:.1f} ms/step = {rows:.1f} rows/s")
     return rows, dt / iters * 1e3
 
 
@@ -345,9 +488,58 @@ def main():
         train_rows, ms = train_bench(B=32)
         results["train_rows_per_sec"] = round(train_rows, 2)
         results["train_ms_per_step"] = round(ms, 2)
+
+        # kernel-engaged training: TACoS fp32 geometry with attention dropout
+        # 0 is where the packed kernel's custom_vjp path actually runs (see
+        # train_bench docstring); measured with the kernel on vs off so the
+        # backward-pass win/loss is a recorded number, not an assumption
+        from mesm_tpu import kernels as _k
+
+        ktrain_rows, kms = train_bench(
+            B=8, geometry="tacos", dropout=0.0, label="train-kernel")
+        with _k.pallas_scope("off"):
+            xtrain_rows, xms = train_bench(
+                B=8, geometry="tacos", dropout=0.0, label="train-kernel-off")
+        results["train_kernel_tacos_ms_per_step"] = round(kms, 2)
+        results["train_kernel_off_tacos_ms_per_step"] = round(xms, 2)
+
+        # faithful-port train baseline (host-sync matcher, fp32): cached —
+        # its semantics are frozen; delete BENCH_BASELINE.json to re-measure
+        import os
+
+        cache_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+        )
+        import jax as _jax
+
+        tkey = f"train-{_jax.default_backend()}-B32-Lv194-Dv2818"
+        tbase = None
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if cached.get("train_key") == tkey:
+                tbase = cached["train_baseline_rows_per_sec"]
+                log(f"[train-baseline] cached: {tbase:.1f} rows/s")
+        if tbase is None:
+            tbase, tbase_ms = train_baseline_bench(B=32)
+            if os.path.exists(cache_path):
+                with open(cache_path) as f:
+                    cached = json.load(f)
+            else:
+                cached = {}
+            cached.update({
+                "train_key": tkey,
+                "train_baseline_rows_per_sec": tbase,
+                "train_baseline_ms_per_step": round(tbase_ms, 2),
+            })
+            with open(cache_path, "w") as f:
+                json.dump(cached, f)
+        results["train_baseline_rows_per_sec"] = round(tbase, 2)
+        results["train_vs_baseline"] = round(train_rows / tbase, 3)
         print(json.dumps({
             "metric": "train_throughput_rows_per_sec",
             "value": round(train_rows, 2), "unit": "rows/s",
+            "vs_baseline": round(train_rows / tbase, 3),
         }))
         import datetime, os
 
