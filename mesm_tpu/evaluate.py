@@ -115,7 +115,13 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
         else:
             arg = jb
         r = ctx.run(eval_step, params, frozen, arg, rng)
-        jax.block_until_ready(r)
+        # a real fetch, not block_until_ready: on this environment's relay,
+        # plain-jit results defer compile+exec until the first device->host
+        # fetch and block returns immediately until then (BASELINE.md
+        # "Lazy-dispatch measurement discipline") — with a bare block these
+        # warm threads would compile NOTHING and the first timed dispatch
+        # would pay the compile serially
+        jax.device_get(jax.tree_util.tree_leaves(r)[0])
 
     logger.info(f"Pre-compiling {len(staged)} eval-step shapes concurrently...")
     t0 = time.time()

@@ -468,12 +468,17 @@ def eval_coalesce_from_opt(opt, n_batches: int | None = None) -> int:
     When the epoch's batch count is known, K is capped at roughly the
     batches-per-length-bucket so remainder groups don't pad away the win
     (measured: K=8 on a ~3-batches-per-bucket epoch wastes 2.6x device
-    work and regresses the e2e epoch 153 -> 90 rows/s)."""
+    work and regresses the e2e epoch 153 -> 90 rows/s).
+
+    Auto K=32: the round-3 sweep (scripts/sweep_coalesce.py, charades
+    flagship geometry) measured 25.5k/29.5k/31.5k/31.8k rows/s at
+    K=8/16/32/64 — the relay's fixed per-dispatch cost amortizes through
+    K=32 and plateaus; K=64 adds +1% and doubles remainder-padding waste."""
     k = int(getattr(opt, "eval_coalesce", 1) or 1)
     if k == -1:
         import jax
 
-        k = 8 if jax.default_backend() != "cpu" else 1
+        k = 32 if jax.default_backend() != "cpu" else 1
     if n_batches is not None and k > 1:
         buckets = max(1, int(getattr(opt, "eval_len_buckets", 1) or 1))
         k = min(k, max(1, n_batches // buckets))
