@@ -21,7 +21,6 @@ import numpy as np
 
 from .config import TestOptions
 from .metrics import eval_submission
-from .ops.span import span_cxw_to_xx
 from .postprocess import SpanPostProcessor, apply_nms
 from .utils import AverageMeter, load_checkpoint, save_json, save_jsonl
 from . import runner as R
@@ -37,9 +36,15 @@ logging.basicConfig(
 def _decode_batch(preds, batch, meta, opt, mr_res):
     """Decode one host-side prediction dict into submission rows."""
     n = meta["n_rows"]
-    scores = np.asarray(preds["scores"])[:n]  # (n, nq)
-    spans = np.asarray(span_cxw_to_xx(preds["pred_spans"]))[:n]  # (n, nq, 2)
-    sal = np.asarray(preds["saliency_scores"])[:n]
+    scores = np.asarray(preds["scores"], dtype=np.float32)[:n]  # (n, nq)
+    # pure-numpy cxw->xx (ops.span.span_cxw_to_xx's jnp.stack would commit
+    # these host arrays to the default device — a TPU roundtrip per batch)
+    cxw = np.asarray(preds["pred_spans"], dtype=np.float32)[:n]  # (n, nq, 2)
+    spans = np.stack(
+        [cxw[..., 0] - 0.5 * cxw[..., 1], cxw[..., 0] + 0.5 * cxw[..., 1]],
+        axis=-1,
+    )
+    sal = np.asarray(preds["saliency_scores"], dtype=np.float32)[:n]
     valid_len = np.asarray(batch["video_mask"])[:n].sum(1)
     for i in range(n):
         dur = meta["duration"][i]

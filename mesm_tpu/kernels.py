@@ -225,7 +225,15 @@ def use_pallas_attention(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bo
       variant's win (19.9 XLA vs 20.4 kernel at 601 bf16).
     - bf16 -> v4 "packed" variant from L >= 128 (charades 128x8x195x195:
       step busy 4.74 -> 4.37 ms/batch; layout churn removed).
-    The variant itself is selected by dtype in attention_pallas.fused_attention."""
+    The variant itself is selected by dtype in attention_pallas.fused_attention.
+
+    Numerics note: for bf16 the packed kernel's softmax exp/divide run in
+    bf16 (_softmax_lastdim; f32 denominator sum), while the XLA chain it
+    replaces upcasts its bf16-stored logits to f32 for the whole softmax
+    (models/attention.py). The measured gate for this difference is METRIC
+    parity, not elementwise parity: a full synthetic eval epoch kernels-off
+    vs auto matches all 11 metric brief keys to 0.000 on v5e
+    (scripts/tpu_check.py regenerates TPU_PARITY.json each round)."""
     mode = pallas_mode()
     if mode == "off":
         return False

@@ -202,10 +202,19 @@ def make_eval_step(
             **_model_kwargs(batch, dedup_video=True),
         )
         prob = jax.nn.softmax(out["pred_logits"], axis=-1)
+        sal = out["saliency_scores"]
+        if jnp.dtype(getattr(model.cfg, "dtype", jnp.float32)) == jnp.bfloat16:
+            # bf16-compute eval: the saliency dot is a bf16 product chain whose
+            # final f32 promotion comes only from the 1/sqrt(d) scale — ship it
+            # back at bf16 and halve the dominant result-transfer field
+            # ((K,B,Lv) f32 = 3.2 MB/superbatch at the flagship geometry; the
+            # whole rest of the pull is ~0.2 MB). Decode upcasts to f32.
+            # Metric parity is gated by test_bf16_eval_metric_parity.
+            sal = sal.astype(jnp.bfloat16)
         preds = {
             "scores": prob[..., 0],  # foreground prob (class 0)
             "pred_spans": out["pred_spans"],
-            "saliency_scores": out["saliency_scores"],
+            "saliency_scores": sal,
         }
         if with_loss and ccfg is not None:
             losses, total = compute_losses(out, batch, ccfg, is_training=False)
