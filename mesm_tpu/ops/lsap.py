@@ -21,8 +21,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_INF = jnp.float32(1e30)
-_BIG = jnp.float32(1e6)
+# Python floats, NOT jnp scalars: a module-level jnp.float32(...) would
+# materialize a device constant at import time and initialize the XLA
+# backend — which breaks jax.distributed.initialize() on multi-host setups
+# (it must run before any backend use; see parallel/multihost.py). These are
+# f32-exact and take their dtype from the expressions they enter.
+_INF = 1e30
+_BIG = 1e6
 
 
 def solve_lsap(cost: jnp.ndarray, row_mask: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -15,3 +15,4 @@ from .step import (
     set_learning_rate,
     current_learning_rate,
 )
+from . import multihost

@@ -111,9 +111,19 @@ def main() -> int:
         log(f"[{mode}] brief: {json.dumps(briefs[mode], sort_keys=True)}")
 
     keys = sorted(set(briefs["off"]) | set(briefs["auto"]))
+
+    def diff(a, b):
+        # None = metric undefined for this dataset's length mix (e.g.
+        # MR-superlong-mAP outside TACoS); equal-None is parity, a
+        # None/number mismatch is a real divergence
+        if a is None and b is None:
+            return 0.0
+        if a is None or b is None:
+            return float("inf")
+        return round(abs(a - b), 6)
+
     diffs = {
-        k: round(abs(briefs["off"].get(k, float("nan")) - briefs["auto"].get(k, float("nan"))), 6)
-        for k in keys
+        k: diff(briefs["off"].get(k), briefs["auto"].get(k)) for k in keys
     }
     ok = all(d == 0.0 for d in diffs.values())
     out = {
