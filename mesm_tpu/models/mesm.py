@@ -255,6 +255,21 @@ class MESM(nn.Module):
 
     # -- helpers ------------------------------------------------------------
 
+    def project_video_groups(self, video_feat_g, video_mask_g, deterministic=True):
+        """Eval-only hoist: project the unique-video features (the
+        v_feat_dim-wide LN->Dense input projection) and compute their sine
+        positions OUTSIDE the dispatch-coalesced K-scan.
+
+        make_eval_step(superbatch=True) calls this once on the (K*NG, Lv, Dv)
+        stack so the wide tensor is consumed by one large batched kernel
+        instead of being dynamic-sliced per scanned batch (trace r3s_ctrl:
+        the per-k slice + relayout copy of the bf16 (8,53,194,2818) stack
+        cost ~0.27 ms/batch). Values are identical to projecting inside
+        __call__ (deterministic, same params). Returns (projed_g, pos_g)."""
+        projed_g = self.input_vid_proj(video_feat_g, deterministic=deterministic)
+        pos_g = self.vid_position_embed(video_mask_g)
+        return projed_g, pos_g
+
     def _txt_pos(self, feat, deterministic):
         if self.cfg.use_txt_pos:
             return self.txt_position_embed(feat, deterministic=deterministic)
@@ -311,12 +326,25 @@ class MESM(nn.Module):
         video_feat_g: Optional[jnp.ndarray] = None,  # (NG, Lv, Dv) unique videos
         video_mask_g: Optional[jnp.ndarray] = None,  # (NG, Lv)
         video_slot: Optional[jnp.ndarray] = None,  # (B,) row -> unique video
+        video_proj_g: Optional[jnp.ndarray] = None,  # (NG, Lv, d) pre-projected
+        vid_pos_g: Optional[jnp.ndarray] = None,  # (NG, Lv, d) pre-computed pos
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         B = video_mask.shape[0]
         det = deterministic
 
-        if video_feat_g is not None:
+        if video_proj_g is not None:
+            # projection hoisted out of the coalesced eval scan by the step
+            # builder (make_eval_step._hoist_video_proj via
+            # project_video_groups); gather rows from the narrow output.
+            # Measured A/B at the flagship geometry (traces r3s_*): this
+            # group-hoist is the best of three variants — hoisting the
+            # row-gather too loses 0.11 ms/batch to bigger outside writes,
+            # and pinning the body stream row-major with a Pallas identity
+            # anchor loses 0.21 (see ops/anchor.py for the numbers).
+            projed_video_feat = video_proj_g[video_slot]
+            vid_position = vid_pos_g.astype(projed_video_feat.dtype)[video_slot]
+        elif video_feat_g is not None:
             # deduplicated eval path: project each unique video once, gather
             # rows after the (v_feat_dim-wide) projection — identical values
             # to the per-row path (dropout is inactive at eval)
@@ -341,7 +369,9 @@ class MESM(nn.Module):
                 # (a second, independent projection draw of the same video —
                 # reference model.py:200; identical to the main projection
                 # when deterministic, so the dedup gather applies here too)
-                if video_feat_g is not None:
+                if video_proj_g is not None:
+                    batched_vid = projed_video_feat  # hoisted dedup projection
+                elif video_feat_g is not None:
                     batched_vid = self.input_vid_proj(video_feat_g, deterministic=det)[
                         video_slot
                     ]

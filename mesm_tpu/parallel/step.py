@@ -96,6 +96,8 @@ def _model_kwargs(batch, dedup_video: bool = False):
             video_feat_g=batch.get("video_feat_g"),
             video_mask_g=batch.get("video_mask_g"),
             video_slot=batch.get("video_slot"),
+            video_proj_g=batch.get("video_proj_g"),
+            vid_pos_g=batch.get("vid_pos_g"),
         )
     return kw
 
@@ -185,9 +187,16 @@ def make_eval_step(
 
     def eval_step(params, frozen_text, batch, rng):
         words_feat, words_mask, sentence_feat = encode_text_fn(frozen_text, batch)
-        neg_rows = sample_out_of_group(
-            jax.random.fold_in(rng, 0), batch["group_id"], batch.get("row_mask")
-        )
+        if with_loss:
+            neg_rows = sample_out_of_group(
+                jax.random.fold_in(rng, 0), batch["group_id"], batch.get("row_mask")
+            )
+        else:
+            # the negative pass is off (compute_neg=with_loss below): the
+            # model never reads these indices, so don't trace the (B, B)
+            # Gumbel argmax at all (XLA would DCE it, but the trace and the
+            # jaxpr stay honest this way)
+            neg_rows = jnp.zeros(batch["group_id"].shape, jnp.int32)
         out = model.apply(
             {"params": params},
             batch.get("video_feat"),  # None on the deduplicated-video path
@@ -226,6 +235,36 @@ def make_eval_step(
     def _params(p):
         return params_unravel(p) if params_unravel is not None else p
 
+    def _hoist_video_proj(p, stacked):
+        """Project the unique-video features for ALL K batches in one batched
+        call BEFORE the scan (MESM.project_video_groups). The wide (K, NG, Lv,
+        v_feat_dim) stack is then consumed by one large kernel instead of a
+        per-k dynamic-slice + relayout copy inside the scan body; the
+        video_slot row-gather stays in the body. Measured at the charades
+        flagship geometry (traces r3s_ctrl/hoist/hoist2/anchor, device-busy
+        ms/batch incl. outside-scan ops): control 3.84, THIS group-hoist
+        3.66, rows-hoist (gather outside too) 3.76, rows-hoist + row-major
+        Pallas layout anchor 3.89. The body's L-major layout flip this
+        induces costs 0.65 in LN-stat reductions but saves ~0.9 of stream
+        fusions/copies — net the un-anchored group form wins. Values are
+        identical — the projection is deterministic at eval."""
+        vf = stacked.get("video_feat_g")
+        if vf is None:
+            return stacked
+        K, NG = vf.shape[:2]
+        vm = stacked["video_mask_g"]
+        proj, pos = model.apply(
+            {"params": p},
+            vf.reshape((K * NG,) + vf.shape[2:]),
+            vm.reshape((K * NG,) + vm.shape[2:]),
+            method="project_video_groups",
+        )
+        stacked = dict(stacked)
+        del stacked["video_feat_g"]
+        stacked["video_proj_g"] = proj.reshape((K, NG) + proj.shape[1:])
+        stacked["vid_pos_g"] = pos.astype(proj.dtype).reshape((K, NG) + pos.shape[1:])
+        return stacked
+
     if coalesce <= 1:
         @jax.jit
         def jitted(params, frozen_text, batch, rng):
@@ -237,6 +276,7 @@ def make_eval_step(
         @jax.jit
         def multi_sb(params, frozen_text, stacked, rng):
             p = _params(params)  # unravel once, outside the scan body
+            stacked = _hoist_video_proj(p, stacked)
             return jax.lax.map(
                 lambda b: eval_step(p, frozen_text, b, rng), stacked
             )
@@ -252,6 +292,7 @@ def make_eval_step(
         def multi(params, frozen_text, batches, rng):
             p = _params(params)  # unravel once, outside the scan body
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            stacked = _hoist_video_proj(p, stacked)
             return jax.lax.map(
                 lambda b: eval_step(p, frozen_text, b, rng), stacked
             )

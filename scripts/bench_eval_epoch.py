@@ -189,6 +189,41 @@ def main():
         if epoch > 0 and (best is None or t_fwd + t_metrics < best[0] + best[1]):
             best = (t_fwd, t_metrics)
     t_fwd, t_metrics = best
+
+    # ---- local-host projection (explicit formula) ----------------------
+    # The wall number above is dominated by this environment's per-dispatch
+    # host<->device relay latency (measured 53-172 rows/s variance across
+    # identical runs). On a LOCAL-host TPU the epoch wall is
+    #
+    #   T_epoch ~= max(T_loader, N / R_step) + T_metrics
+    #
+    # where T_loader is the host pipeline building all batches (measured
+    # below with a loader-only pass; it overlaps the device via the
+    # one-deep decode pipeline in compute_mr_results), R_step is the
+    # device-side step throughput (the dispatch-level bench reading on the
+    # same chip, BENCH_EXTRA.json charades_eval_rows_per_sec), and
+    # T_metrics is the host metric suite (measured above).
+    t0 = time.perf_counter()
+    for _b, _m in loader:  # loader-only pass: host feature read + collate
+        pass
+    t_loader = time.perf_counter() - t0
+    step_rps = None
+    extra_path0 = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_EXTRA.json")
+    if os.path.exists(extra_path0):
+        with open(extra_path0) as f:
+            step_rps = json.load(f).get("charades_eval_rows_per_sec")
+    proj = None
+    if step_rps:
+        t_dev = n_rows / step_rps
+        proj = n_rows / (max(t_loader, t_dev) + t_metrics)
+        log(
+            f"local-host projection: N={n_rows} rows / (max(T_loader="
+            f"{t_loader:.2f}s, N/R_step={t_dev:.3f}s @ {step_rps:.0f} rows/s)"
+            f" + T_metrics={t_metrics:.2f}s) = {proj:.1f} rows/s"
+        )
+
     total = t_fwd + t_metrics
     print(json.dumps({
         "metric": "eval_epoch_rows_per_sec",
@@ -198,7 +233,14 @@ def main():
             "rows": n_rows,
             "pipeline_step_decode_s": round(t_fwd, 3),
             "metrics_s": round(t_metrics, 3),
+            "loader_only_s": round(t_loader, 3),
             "R1@0.5": metrics["brief"]["MR-full-R1@0.5"],
+            "local_host_projection_rows_per_sec": (
+                round(proj, 2) if proj else None),
+            "projection_formula": (
+                "N / (max(T_loader, N/R_step) + T_metrics); R_step = "
+                "dispatch-level charades_eval_rows_per_sec from "
+                "BENCH_EXTRA.json, measured on the same chip"),
         },
     }))
     extra_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_EXTRA.json")
@@ -208,6 +250,9 @@ def main():
         extra["eval_epoch_rows_per_sec"] = round(n_rows / total, 2)
         extra["eval_epoch_pipeline_s"] = round(t_fwd, 3)
         extra["eval_epoch_metrics_s"] = round(t_metrics, 3)
+        extra["eval_epoch_loader_only_s"] = round(t_loader, 3)
+        if proj:
+            extra["eval_epoch_local_host_projection_rows_per_sec"] = round(proj, 2)
         with open(extra_path, "w") as f:
             json.dump(extra, f, indent=1)
 

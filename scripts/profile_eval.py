@@ -81,13 +81,21 @@ def main():
                 if v.dtype == jnp.float32 and v.ndim >= 3 else v
                 for k, v in jb_eval.items()
             }
+        from mesm_tpu.data.pipeline import stage_superbatch
+
         step_k = make_eval_step(
-            model, None, encode_passthrough, with_loss=False, coalesce=args.coalesce
+            model, None, encode_passthrough, with_loss=False,
+            coalesce=args.coalesce, superbatch=True,
         )
-        batches = (jb_eval,) * args.coalesce
+        import numpy as _np
+
+        host_batches = [
+            {k: _np.asarray(v) for k, v in jb_eval.items()}
+        ] * args.coalesce
+        sb = stage_superbatch(host_batches, cast_bf16=args.bf16)
 
         def fn(p, *a):
-            return step_k(p, {}, batches, jax.random.PRNGKey(0))
+            return step_k(p, {}, sb, jax.random.PRNGKey(0))
     else:
         @jax.jit
         def fn(p, *a):
