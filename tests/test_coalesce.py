@@ -293,3 +293,40 @@ def test_superbatch_step_and_driver_match_tuple_form():
             np.asarray(rs["pred_saliency_scores"]),
             np.asarray(rc["pred_saliency_scores"]), atol=1e-4,
         )
+
+
+def test_hoisted_video_projection_matches_in_body():
+    """MESM.project_video_groups + the video_proj_g/vid_pos_g kwargs (the
+    superbatch scan hoist, parallel/step.py _hoist_video_proj) must produce
+    the same outputs as the in-body dedup path (video_feat_g)."""
+    model = tiny_model()
+    jb = device_batch(11)
+    params = init_params(model, jb)
+    common = dict(
+        is_training=False, deterministic=True, compute_neg=False,
+        clip_mask=jb["clip_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+    )
+    args = (None, jb["video_mask"], jb["words_feat"],
+            jb["words_mask"].astype(bool), jb["sentence_feat"],
+            (jnp.arange(B, dtype=jnp.int32) + 1) % B)
+
+    out_body = model.apply(
+        {"params": params}, *args,
+        video_feat_g=jb["video_feat_g"], video_mask_g=jb["video_mask_g"],
+        video_slot=jb["video_slot"], **common,
+    )
+    proj, pos = model.apply(
+        {"params": params}, jb["video_feat_g"], jb["video_mask_g"],
+        method="project_video_groups",
+    )
+    out_hoist = model.apply(
+        {"params": params}, *args,
+        video_proj_g=proj, vid_pos_g=pos.astype(proj.dtype),
+        video_slot=jb["video_slot"], **common,
+    )
+    for key in ("pred_spans", "pred_logits", "saliency_scores"):
+        np.testing.assert_allclose(
+            np.asarray(out_body[key]), np.asarray(out_hoist[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
