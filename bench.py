@@ -319,11 +319,18 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
         log(f"[{label}] baseline: {base:.1f} rows/s")
         import datetime
 
+        # read-modify-write: the same cache file also holds the TRAIN
+        # baseline keys — a fresh eval re-measure must not clobber them
+        cached = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cached = json.load(f)
+        cached.update(
+            {"key": key, "baseline_rows_per_sec": base,
+             "measured": datetime.date.today().isoformat()}
+        )
         with open(cache_path, "w") as f:
-            json.dump(
-                {"key": key, "baseline_rows_per_sec": base,
-                 "measured": datetime.date.today().isoformat()}, f,
-            )
+            json.dump(cached, f)
         kernels.set_pallas_attention(None)
     return fast, base
 
