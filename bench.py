@@ -341,8 +341,9 @@ def train_bench(B=32, geometry="charades", dropout=0.1, label="train"):
 
     geometry='tacos' + dropout=0.0 is the configuration where the packed
     attention kernel's custom_vjp path ENGAGES in training (fp32 tier needs
-    Lv >= 512; reference configs keep attention dropout 0.1, which forces
-    the XLA core — correctly, since dropout must ride XLA's rng)."""
+    Lv >= 512 AND B >= 16 — kernels.AUTO_MIN_*; reference configs keep
+    attention dropout 0.1, which forces the XLA core — correctly, since
+    dropout must ride XLA's rng)."""
     import jax
     import jax.numpy as jnp
 
@@ -536,14 +537,17 @@ def main():
         # kernel-engaged training: TACoS fp32 geometry with attention dropout
         # 0 is where the packed kernel's custom_vjp path actually runs (see
         # train_bench docstring); measured with the kernel on vs off so the
-        # backward-pass win/loss is a recorded number, not an assumption
+        # backward-pass win/loss is a recorded number, not an assumption.
+        # B=16, not the reference's 8: the fp32 kernel tier needs B >= 16
+        # (kernels.AUTO_MIN_BATCH) — at B=8 both sides run identical XLA
+        # now that the packed formulations are eval-only (SHORTKEY_TRAIN).
         from mesm_tpu import kernels as _k
 
         ktrain_rows, kms = train_bench(
-            B=8, geometry="tacos", dropout=0.0, label="train-kernel")
+            B=16, geometry="tacos", dropout=0.0, label="train-kernel")
         with _k.pallas_scope("off"):
             xtrain_rows, xms = train_bench(
-                B=8, geometry="tacos", dropout=0.0, label="train-kernel-off")
+                B=16, geometry="tacos", dropout=0.0, label="train-kernel-off")
         results["train_kernel_tacos_ms_per_step"] = round(kms, 2)
         results["train_kernel_off_tacos_ms_per_step"] = round(xms, 2)
 

@@ -96,6 +96,16 @@ SHORTKEY_MIN_B = 8
 # SS-recon (~3 q x 194 k) and decoder cross-attn (10 q x 195 k) sites
 SHORTQUERY_MAX_LQ = 32
 SHORTQUERY_MIN_LK = 64
+# Packed formulations are EVAL-ONLY by default: they were tuned on the
+# forward-only eval step, and the measured TACoS fp32 B=8 TRAIN step — where
+# shortkey/shortquery are the ONLY auto-vs-off difference (the Pallas tiers
+# need B >= 16 and LN-dense gates on deterministic) — ran 35.1 ms/step with
+# them engaged vs 17.2 kernels-off (round-3 bench, 2x). The backward of the
+# block-diagonal pack plus the full (B, Lq, H*Lk) f32 exp residuals costs
+# far more than the forward relayout churn they remove. Flip these to
+# re-measure on future hardware.
+SHORTKEY_TRAIN = False
+SHORTQUERY_TRAIN = False
 # int8 FFN — MEASURED NEGATIVE on v5e, default OFF. Three formulations, all
 # in-model traced at the flagship geometry (baseline FFN = 0.137 ms/site,
 # simultaneously ~99% of the bf16 MXU roofline AND ~HBM roofline):
@@ -173,14 +183,20 @@ def pallas_mode() -> str:
     return override if override is not None else _DEFAULT_MODE
 
 
-def use_shortkey_packed(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
+def use_shortkey_packed(
+    B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None, deterministic: bool = True
+) -> bool:
     """Dispatch for the packed all-heads short-key attention formulation
     (models/attention.attention_core_shortkey). Rides the same mode switch
     as the Pallas kernels so 'off' still means the reference-shaped XLA
     chain everywhere (the metric-parity lever). Never overlaps
-    use_pallas_attention: that tier needs min(Lq, Lk) >= 128."""
+    use_pallas_attention: that tier needs min(Lq, Lk) >= 128. Training
+    (deterministic=False) keeps the XLA chain unless SHORTKEY_TRAIN — see
+    the measured 2x train regression at the constant's definition."""
     mode = pallas_mode()
     if mode == "off":
+        return False
+    if not deterministic and not SHORTKEY_TRAIN:
         return False
     in_range = Lk <= SHORTKEY_MAX_LK and Lq >= SHORTKEY_MIN_LQ and B >= SHORTKEY_MIN_B
     if mode == "on":
@@ -192,16 +208,21 @@ def use_shortkey_packed(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> boo
     return on_tpu and in_range
 
 
-def use_shortquery_packed(B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None) -> bool:
+def use_shortquery_packed(
+    B: int = 0, Lq: int = 0, Lk: int = 0, dtype=None, deterministic: bool = True
+) -> bool:
     """Dispatch for the packed all-heads short-QUERY formulation
     (models/attention.attention_core_shortquery): SS-recon cross-attn
     (~3 q x 194 k) and decoder cross-attn (10 q x 195 k). Head-splitting
     the LONG key/value there flips the video stream into L-minor layouts
     (~0.45 ms/batch of copies, traces/r3_segmm); packing the tiny query
     keeps k/v untouched. Never overlaps the other tiers: Pallas needs
-    min(Lq, Lk) >= 128, shortkey needs Lq >= 64."""
+    min(Lq, Lk) >= 128, shortkey needs Lq >= 64. Training keeps the XLA
+    chain unless SHORTQUERY_TRAIN (see SHORTKEY_TRAIN note)."""
     mode = pallas_mode()
     if mode == "off":
+        return False
+    if not deterministic and not SHORTQUERY_TRAIN:
         return False
     in_range = (
         Lq <= SHORTQUERY_MAX_LQ and Lk >= SHORTQUERY_MIN_LK and B >= SHORTKEY_MIN_B

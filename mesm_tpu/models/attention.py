@@ -322,7 +322,7 @@ def dispatch_attention_core(q, k, v, **kwargs):
                 kwargs.get("key_valid_mask"), kwargs.get("pair_factors"),
             )
     if (not has_split) and kwargs.get("logit_bias") is None and kernels.use_shortkey_packed(
-        q.shape[0], q.shape[1], k.shape[1], q.dtype
+        q.shape[0], q.shape[1], k.shape[1], q.dtype, deterministic=det
     ):
         sk_kwargs = {key: val for key, val in kwargs.items() if key != "logit_bias"}
         no_dropout = sk_kwargs.get("dropout_rate", 0.0) == 0.0 or sk_kwargs.get(
@@ -340,7 +340,7 @@ def dispatch_attention_core(q, k, v, **kwargs):
             )
         return attention_core_shortkey(q, k, v, **sk_kwargs)
     if kwargs.get("logit_bias") is None and kernels.use_shortquery_packed(
-        q.shape[0], q.shape[1], k.shape[1], q.dtype
+        q.shape[0], q.shape[1], k.shape[1], q.dtype, deterministic=det
     ):
         sq_kwargs = {key: val for key, val in kwargs.items() if key != "logit_bias"}
         return attention_core_shortquery(q, k, v, **sq_kwargs)

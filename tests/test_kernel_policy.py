@@ -78,6 +78,24 @@ def test_packed_formulation_tiers(monkeypatch):
     assert kernels.use_shortquery_packed(128, 10, 195, jnp.bfloat16)
     assert not kernels.use_shortquery_packed(128, 10, 10, jnp.bfloat16)  # dec self
     assert not kernels.use_shortquery_packed(128, 64, 194, jnp.bfloat16)  # long q
+    # training (deterministic=False) keeps the XLA chain: the packed
+    # formulations' backward measured 2x slower (kernels.py SHORTKEY_TRAIN)
+    assert not kernels.use_shortkey_packed(
+        128, 195, 17, jnp.bfloat16, deterministic=False
+    )
+    assert not kernels.use_shortquery_packed(
+        128, 3, 194, jnp.bfloat16, deterministic=False
+    )
+    monkeypatch.setattr(kernels, "SHORTKEY_TRAIN", True)
+    monkeypatch.setattr(kernels, "SHORTQUERY_TRAIN", True)
+    assert kernels.use_shortkey_packed(
+        128, 195, 17, jnp.bfloat16, deterministic=False
+    )
+    assert kernels.use_shortquery_packed(
+        128, 3, 194, jnp.bfloat16, deterministic=False
+    )
+    monkeypatch.setattr(kernels, "SHORTKEY_TRAIN", False)
+    monkeypatch.setattr(kernels, "SHORTQUERY_TRAIN", False)
     # no geometry satisfies two tiers at once
     for B, Lq, Lk in ((128, 195, 17), (128, 3, 194), (128, 10, 195),
                       (128, 195, 195), (16, 600, 600)):
