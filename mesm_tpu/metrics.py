@@ -134,7 +134,10 @@ def compute_mr_ap(
     worker = partial(_ap_worker, tiou_thresholds=np.asarray(iou_thds))
     ap_by_qid = {}
     if num_workers > 1 and len(triples) > 2 * chunksize:
-        with mp.Pool(num_workers) as pool:
+        # forkserver, not fork: the caller typically holds a live
+        # (multithreaded) JAX runtime, and fork()ing it can deadlock the
+        # children (same hazard as data/pipeline.py:83)
+        with mp.get_context("forkserver").Pool(num_workers) as pool:
             for qid, scores in pool.imap_unordered(worker, triples, chunksize=chunksize):
                 ap_by_qid[qid] = scores
     else:
