@@ -335,7 +335,8 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     return fast, base
 
 
-def train_bench(B=32, geometry="charades", dropout=0.1, label="train"):
+def train_bench(B=32, geometry="charades", dropout=0.1, label="train",
+                dtype="float32"):
     """Fused train step: forward (stacked neg pass) + on-device matching +
     all five losses + grad clip + AdamW.
 
@@ -343,7 +344,11 @@ def train_bench(B=32, geometry="charades", dropout=0.1, label="train"):
     attention kernel's custom_vjp path ENGAGES in training (fp32 tier needs
     Lv >= 512 AND B >= 16 — kernels.AUTO_MIN_*; reference configs keep
     attention dropout 0.1, which forces the XLA core — correctly, since
-    dropout must ride XLA's rng)."""
+    dropout must ride XLA's rng).
+
+    dtype='bfloat16' measures the mixed-precision train mode
+    (--compute_dtype bfloat16: fp32 params/optimizer, bf16 activations —
+    the TPU-native option the reference has no analog of)."""
     import jax
     import jax.numpy as jnp
 
@@ -354,7 +359,8 @@ def train_bench(B=32, geometry="charades", dropout=0.1, label="train"):
         Lv, Dv, Lw, Dt = 194, 2818, 16, 512
     else:
         Lv, Dv, Lw, Dt = 600, 4098, 16, 300
-    cfg, model, jb, neg = make_model_and_batch(B, Lv, Dv, Lw, Dt, dropout=dropout)
+    cfg, model, jb, neg = make_model_and_batch(
+        B, Lv, Dv, Lw, Dt, dropout=dropout, dtype=dtype)
     jb["words_label"] = jb["words_label"] % cfg.num_classes
     jb["row_mask"] = jnp.ones((B,), bool)
     ccfg = CriterionConfig(
@@ -534,6 +540,13 @@ def main():
         results["train_rows_per_sec"] = round(train_rows, 2)
         results["train_ms_per_step"] = round(ms, 2)
 
+        # mixed-precision train mode (--compute_dtype bfloat16): fp32
+        # params/optimizer, bf16 activations. Reference semantics are fp32,
+        # so this is reported as a separate opt-in number, not the headline.
+        bf16_rows, bf16_ms = train_bench(B=32, label="train-bf16", dtype="bfloat16")
+        results["train_bf16_rows_per_sec"] = round(bf16_rows, 2)
+        results["train_bf16_ms_per_step"] = round(bf16_ms, 2)
+
         # kernel-engaged training: TACoS fp32 geometry with attention dropout
         # 0 is where the packed kernel's custom_vjp path actually runs (see
         # train_bench docstring); measured with the kernel on vs off so the
@@ -584,6 +597,7 @@ def main():
                 json.dump(cached, f)
         results["train_baseline_rows_per_sec"] = round(tbase, 2)
         results["train_vs_baseline"] = round(train_rows / tbase, 3)
+        results["train_bf16_vs_baseline"] = round(bf16_rows / tbase, 3)
         print(json.dumps({
             "metric": "train_throughput_rows_per_sec",
             "value": round(train_rows, 2), "unit": "rows/s",
