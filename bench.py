@@ -606,9 +606,21 @@ def main():
         import datetime, os
 
         results["measured"] = datetime.date.today().isoformat()
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_EXTRA.json"), "w") as f:
-            json.dump(results, f, indent=1)
+        # read-modify-write: scripts/bench_eval_epoch.py records its
+        # eval_epoch_* keys in the same file — don't clobber them
+        extra_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
+        )
+        merged = {}
+        if os.path.exists(extra_path):
+            try:
+                with open(extra_path) as f:
+                    merged = json.load(f)
+            except Exception:
+                merged = {}
+        merged.update(results)
+        with open(extra_path, "w") as f:
+            json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
