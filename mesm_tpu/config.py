@@ -142,6 +142,12 @@ class BaseOptions:
                        help="static rows per batch; 0 = auto")
         p.add_argument("--compute_dtype", type=str, default="float32",
                        choices=["float32", "bfloat16"])
+        p.add_argument("--grad_accum", type=int, default=1,
+                       help="gradient accumulation: split each train batch "
+                            "into k lax.scan'd microbatches, average the k "
+                            "fp32 gradients, apply ONE optimizer update "
+                            "(activation memory bounded by one microbatch); "
+                            "batch rows must divide by k. 1 = off")
         p.add_argument("--n_devices", type=int, default=0,
                        help="data-parallel devices; 0 = all visible")
         p.add_argument("--pallas_attention", type=str, default="auto",

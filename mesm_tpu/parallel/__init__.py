@@ -9,6 +9,7 @@ from .mesh import (
 from .step import (
     TrainState,
     build_optimizer,
+    make_micro_grads,
     make_train_step,
     make_eval_step,
     sample_out_of_group,

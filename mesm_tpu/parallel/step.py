@@ -102,19 +102,21 @@ def _model_kwargs(batch, dedup_video: bool = False):
     return kw
 
 
-def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, tx):
-    """Returns jitted train_step(state, frozen_text, batch, rng) -> (state, metrics)."""
+def make_micro_grads(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn):
+    """(params, frozen_text, batch, rng3) -> ((total, losses), grads) for ONE
+    batch. rng3 = (dropout, mask_words, neg_sampling) keys, in the split
+    order the single-step path has always used. Shared by the plain and the
+    gradient-accumulating train steps (and importable by tests as the
+    grad oracle for the scan path)."""
 
-    def train_step(state: TrainState, frozen_text, batch, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
-        rng_drop, rng_mask, rng_neg = jax.random.split(step_rng, 3)
-
+    def micro_grads(params, frozen_text, batch, rng3):
+        rng_drop, rng_mask, rng_neg = rng3
         words_feat, words_mask, sentence_feat = encode_text_fn(frozen_text, batch)
         neg_rows = sample_out_of_group(rng_neg, batch["group_id"], batch.get("row_mask"))
 
-        def loss_fn(params):
+        def loss_fn(p):
             out = model.apply(
-                {"params": params},
+                {"params": p},
                 batch["video_feat"],
                 batch["video_mask"],
                 words_feat,
@@ -129,7 +131,38 @@ def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, 
             losses, total = compute_losses(out, batch, ccfg, is_training=True)
             return total, losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    return micro_grads
+
+
+def make_train_step(
+    model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, tx,
+    grad_accum: int = 1,
+):
+    """Returns jitted train_step(state, frozen_text, batch, rng) -> (state, metrics).
+
+    grad_accum=k > 1 turns the step into a microbatched one: the batch's
+    leading axis B is reshaped to (k, B//k) and scanned with `lax.scan`, so
+    activation memory is bounded by ONE microbatch while the optimizer sees
+    the mean of the k microbatch gradients in a single update. This is the
+    TPU-native large-effective-batch mode (the reference has no analog; it
+    is bounded by what one GPU forward fits). Semantics of record:
+
+      update = tx.update(mean_i grad(loss(microbatch_i)))
+
+    i.e. negative sampling, Hungarian matching, and loss normalization are
+    all PER MICROBATCH — each microbatch behaves exactly like one reference
+    batch, and the update equals averaging k independent single-step
+    gradients from the same parameters. Gradients accumulate in fp32
+    regardless of compute dtype. Per-microbatch randomness is
+    split3(fold_in(fold_in(rng, state.step), i)). Requires every batch
+    leaf's leading axis divisible by k (the group-aware sampler keeps >= 2
+    groups per row-capacity slice, so in-microbatch negatives stay valid).
+    """
+    micro_grads = make_micro_grads(model, ccfg, encode_text_fn)
+
+    def apply_update(state, grads, total, losses):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -139,6 +172,58 @@ def make_train_step(model, ccfg: CriterionConfig, encode_text_fn: EncodeTextFn, 
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )
         return new_state, metrics
+
+    if grad_accum <= 1:
+        def train_step(state: TrainState, frozen_text, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            rng3 = jax.random.split(step_rng, 3)
+            (total, losses), grads = micro_grads(
+                state.params, frozen_text, batch, rng3
+            )
+            return apply_update(state, grads, total, losses)
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    k = int(grad_accum)
+
+    def train_step(state: TrainState, frozen_text, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def split_micro(x):
+            if x.shape[0] % k != 0:
+                raise ValueError(
+                    f"grad_accum={k} needs batch leading axis divisible by "
+                    f"{k}, got shape {x.shape}"
+                )
+            return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+        micro = jax.tree.map(split_micro, batch)
+        acc0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+
+        def body(acc, xs):
+            mb, i = xs
+            rng3 = jax.random.split(jax.random.fold_in(step_rng, i), 3)
+            (total, losses), g = micro_grads(state.params, frozen_text, mb, rng3)
+            acc = jax.tree.map(
+                lambda a, gi: a + gi.astype(jnp.float32), acc, g
+            )
+            # per-microbatch scalars are scanned OUT (k of each) and averaged
+            # below — only the fp32 grad accumulator rides the carry
+            return acc, (total.astype(jnp.float32), losses)
+
+        acc, (totals, losses_stacked) = jax.lax.scan(
+            body, acc0, (micro, jnp.arange(k))
+        )
+        grads = jax.tree.map(
+            lambda a, p: (a / k).astype(p.dtype), acc, state.params
+        )
+        total = totals.mean()
+        losses = jax.tree.map(
+            lambda v: v.astype(jnp.float32).mean(axis=0), losses_stacked
+        )
+        return apply_update(state, grads, total, losses)
 
     return jax.jit(train_step, donate_argnums=(0,))
 

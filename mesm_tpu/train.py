@@ -208,7 +208,10 @@ def _train_body(opt):
     elif opt.eval_untrained:
         start_epoch = -1
 
-    train_step = make_train_step(model, ccfg, encode_text, tx)
+    train_step = make_train_step(
+        model, ccfg, encode_text, tx,
+        grad_accum=getattr(opt, "grad_accum", 1),
+    )
     # eval during training also reports criterion losses (reference
     # train.py:156 -> eval.py:101-105); rec_fw is skipped at eval. One
     # jitted step per distinct coalesce factor (K capped by each loader's
