@@ -505,8 +505,46 @@ def train_baseline_bench(B=32):
     return rows, dt / iters * 1e3
 
 
+def wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Block until the TPU backend answers a trivial op, probing in
+    SUBPROCESSES so a hung/unavailable relay can't wedge this process.
+
+    The relay's PJRT plugin ('axon') intermittently reports UNAVAILABLE (or
+    hangs during client init) for minutes at a time; a bench launched into
+    such a window used to die before measuring anything. Probing before OUR
+    first JAX use costs nothing when the chip is healthy (~4 s) and rides
+    out transient outages. After max_wait_s we proceed anyway and let the
+    real initialization fail loudly."""
+    import os, subprocess
+
+    probe = "import jax, jax.numpy as jnp; float(jnp.ones((2,)).sum())"
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=120,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"TPU backend available again (probe {attempt})")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            log(f"TPU backend still unavailable after {max_wait_s:.0f}s "
+                f"({attempt} probes) — proceeding; expect a loud failure")
+            return
+        log(f"TPU backend unavailable (probe {attempt}); retrying in 30s")
+        time.sleep(30)
+
+
 def main():
     extra = "--extra" in sys.argv
+    wait_for_backend()
 
     # charades C+SF geometry (config/charades/C+SF_C.json). The reference
     # evaluates at batch 30 on one GPU; on TPU the eval step is latency-bound
