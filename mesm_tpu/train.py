@@ -56,6 +56,33 @@ def set_seed(seed: int):
     np.random.seed(seed)
 
 
+# --- graceful preemption ----------------------------------------------------
+# TPU VMs are routinely preempted with a SIGTERM + grace window. The reference
+# has no analog (recovery is manual --resume); here SIGTERM finishes the
+# in-flight step, saves model_latest.ckpt with the last COMPLETED epoch, and
+# returns cleanly, so `--resume_all model_latest.ckpt` restarts at most one
+# epoch back. Installed by train() in the main thread; no-op elsewhere.
+_PREEMPT = __import__("threading").Event()
+
+
+def _install_preempt_handler() -> None:
+    import signal
+
+    def _handler(signum, frame):
+        logger.warning(
+            f"received signal {signum}: finishing the in-flight step, then "
+            "checkpointing model_latest.ckpt and exiting"
+        )
+        _PREEMPT.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _handler)
+    except ValueError:
+        # not the main thread (e.g. train() driven from a test harness
+        # worker) — preemption saving is then the caller's concern
+        logger.info("not in main thread; SIGTERM checkpointing disabled")
+
+
 def _device_batch(batch, sharding=None):
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     if "ss_video_feat_groups" in jb:
@@ -86,6 +113,8 @@ def train_epoch(train_step, state, frozen, train_loader, rng, opt, epoch_i, tb_w
         for k, v in metrics.items():
             loss_meters[k].update(float(v) * weight_map.get(k, 1.0))
         timer_data = time.time()
+        if _PREEMPT.is_set():
+            break  # train() checkpoints and exits
 
     if tb_writer is not None:
         from .parallel.step import current_learning_rate
@@ -128,6 +157,8 @@ def _weight_map(opt):
 def train(args=None):
     opt = BaseOptions().parse(args)
     set_seed(opt.seed)
+    _PREEMPT.clear()
+    _install_preempt_handler()
     # config-scoped kernel dispatch (see kernels.pallas_scope): a concurrent
     # eval session in this process keeps its own mode
     with kernels.pallas_scope(opt.pallas_attention):
@@ -252,6 +283,26 @@ def _train_body(opt):
                 train_step, state, frozen, train_loader, rng, opt, epoch_i, tb_writer, data_sh
             )
 
+        if _PREEMPT.is_set():
+            # epoch_i may be incomplete: record the last COMPLETED epoch so
+            # --resume_all restarts at most one epoch back
+            save_checkpoint(
+                opt.ckpt_filepath.replace(".ckpt", "_latest.ckpt"),
+                state.params,
+                state.opt_state,
+                epoch_i - 1,
+                vars(opt),
+            )
+            with open(opt.train_log_filepath, "a") as f:
+                f.write(
+                    f"Preempted during epoch {epoch_i}; model_latest.ckpt "
+                    "saved (resume with --resume_all)\n"
+                )
+            logger.info(
+                f">>>>> Preempted during epoch {epoch_i}; latest checkpoint saved"
+            )
+            break
+
         if (epoch_i + 1) % opt.eval_epoch_interval == 0:
             for key, val_loader in val_loaders.items():
                 logger.info(f"Evaluating {key} split")
@@ -308,7 +359,10 @@ def _train_body(opt):
                         vars(opt),
                     )
                     for src in latest_paths:
-                        dst = src.replace("latest", "best")
+                        # rename only in the filename: a result_dir that
+                        # itself contains "latest" must not be rewritten
+                        src_dir, src_name = os.path.split(src)
+                        dst = os.path.join(src_dir, src_name.replace("latest", "best"))
                         if src != dst and os.path.exists(src):
                             os.replace(src, dst)
                     logger.info("The checkpoint file has been updated.")
