@@ -65,7 +65,12 @@ def set_seed(seed: int):
 _PREEMPT = __import__("threading").Event()
 
 
-def _install_preempt_handler() -> None:
+def _install_preempt_handler():
+    """Install the SIGTERM->checkpoint handler; returns a restore() callable.
+
+    train() MUST restore the previous disposition on exit: a leaked handler
+    makes the whole process TERM-immune afterward (observed: a `timeout`-
+    bounded test run absorbing its own kill signal and wedging for hours)."""
     import signal
 
     def _handler(signum, frame):
@@ -76,11 +81,20 @@ def _install_preempt_handler() -> None:
         _PREEMPT.set()
 
     try:
-        signal.signal(signal.SIGTERM, _handler)
+        prev = signal.signal(signal.SIGTERM, _handler)
     except ValueError:
         # not the main thread (e.g. train() driven from a test harness
         # worker) — preemption saving is then the caller's concern
         logger.info("not in main thread; SIGTERM checkpointing disabled")
+        return lambda: None
+
+    def restore():
+        try:
+            signal.signal(signal.SIGTERM, prev)
+        except (ValueError, TypeError):
+            pass
+
+    return restore
 
 
 def _device_batch(batch, sharding=None):
@@ -158,11 +172,14 @@ def train(args=None):
     opt = BaseOptions().parse(args)
     set_seed(opt.seed)
     _PREEMPT.clear()
-    _install_preempt_handler()
-    # config-scoped kernel dispatch (see kernels.pallas_scope): a concurrent
-    # eval session in this process keeps its own mode
-    with kernels.pallas_scope(opt.pallas_attention):
-        return _train_body(opt)
+    restore_sigterm = _install_preempt_handler()
+    try:
+        # config-scoped kernel dispatch (see kernels.pallas_scope): a
+        # concurrent eval session in this process keeps its own mode
+        with kernels.pallas_scope(opt.pallas_attention):
+            return _train_body(opt)
+    finally:
+        restore_sigterm()
 
 
 def _train_body(opt):

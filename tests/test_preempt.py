@@ -53,10 +53,17 @@ def test_sigterm_saves_latest_and_resumes(tmp_path):
     from mesm_tpu.train import train
     from mesm_tpu.utils import load_checkpoint
 
+    before_handler = signal.getsignal(signal.SIGTERM)
     _sigterm_after_first_epoch(root)
     # n_epoch high enough that the run can only end via the preemption path
     state, opt = train(
         ["--config_file", cfg_path, "--n_epoch", "50", "--exp_id", "preempt"]
+    )
+
+    # the handler must be UNINSTALLED on return: a leaked handler makes the
+    # process TERM-immune (it would absorb e.g. a `timeout` harness's kill)
+    assert signal.getsignal(signal.SIGTERM) == before_handler, (
+        "train() must restore the previous SIGTERM disposition"
     )
 
     latest = opt.ckpt_filepath.replace(".ckpt", "_latest.ckpt")
