@@ -505,16 +505,17 @@ def train_baseline_bench(B=32):
     return rows, dt / iters * 1e3
 
 
-def wait_for_backend(max_wait_s: float = 900.0) -> None:
+def wait_for_backend(max_wait_s: float = 10800.0) -> None:
     """Block until the TPU backend answers a trivial op, probing in
     SUBPROCESSES so a hung/unavailable relay can't wedge this process.
 
     The relay's PJRT plugin ('axon') intermittently reports UNAVAILABLE (or
-    hangs during client init) for minutes at a time; a bench launched into
-    such a window used to die before measuring anything. Probing before OUR
-    first JAX use costs nothing when the chip is healthy (~4 s) and rides
-    out transient outages. After max_wait_s we proceed anyway and let the
-    real initialization fail loudly."""
+    hangs during client init) for minutes at a time — and outages of 3+
+    hours have been observed (2026-08-18); a bench launched into such a
+    window used to die before measuring anything. Probing before OUR first
+    JAX use costs nothing when the chip is healthy (~4 s) and rides out
+    outages. After max_wait_s we proceed anyway and let the real
+    initialization fail loudly."""
     import os, subprocess
 
     probe = "import jax, jax.numpy as jnp; float(jnp.ones((2,)).sum())"

@@ -123,6 +123,38 @@ SHORTQUERY_TRAIN = False
 INT8_FFN: bool = False
 
 
+# Dot-stats LayerNorm (models/layers.ln_dot_stats): compute LN mean/E[x^2]
+# as MXU dot-products with a ones-vector instead of XLA reduces. Targets the
+# six video-stream LN sites whose feature-axis convert_reduce runs strided
+# (~81 GB/s) in the L-minor layout the packed formulations induce — 0.93
+# ms/batch of the 3.66 busy total at the flagship geometry
+# (traces/r3s_hoist2). Default OFF until the in-model trace verdict; eval
+# (deterministic) only — the train path never sees the L-minor layouts.
+DOT_STATS_LN: bool = False
+# engage only where the slow sites live: big row counts, narrow features
+DOT_STATS_MIN_ROWS = 4096
+DOT_STATS_MAX_D = 512
+
+
+def set_dot_stats_ln(enabled: bool) -> None:
+    global DOT_STATS_LN
+    DOT_STATS_LN = bool(enabled)
+
+
+def use_dot_stats_ln(n_rows: int, d: int) -> bool:
+    mode = pallas_mode()
+    if mode == "off" or not DOT_STATS_LN:
+        return False
+    in_range = n_rows >= DOT_STATS_MIN_ROWS and d <= DOT_STATS_MAX_D
+    if mode == "on":
+        return in_range
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return on_tpu and in_range
+
+
 def set_int8_ffn(enabled: bool) -> None:
     global INT8_FFN
     INT8_FFN = bool(enabled)

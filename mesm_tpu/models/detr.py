@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import CoreAttention, ProjAttention
-from .layers import FFN, MLP, torch_linear_bias_init
+from .layers import FFN, MLP, apply_ln, torch_linear_bias_init
 
 _xavier = nn.initializers.xavier_uniform
 
@@ -85,7 +85,12 @@ class TransformerEncoderLayer(nn.Module):
             name="self_attn",
         )(q, k, src, key_valid_mask=valid_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
+        src = apply_ln(
+            self,
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1"),
+            src,
+            deterministic=deterministic,
+        )
         y = FFN(
             self.dim_feedforward,
             self.d_model,
@@ -96,7 +101,12 @@ class TransformerEncoderLayer(nn.Module):
             name="ffn",
         )(src, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+        return apply_ln(
+            self,
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2"),
+            src,
+            deterministic=deterministic,
+        )
 
 
 class _EncoderScanBody(nn.Module):

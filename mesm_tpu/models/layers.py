@@ -87,6 +87,56 @@ def make_activation(name: str):
     raise ValueError(f"unsupported activation {name}")
 
 
+def ln_dot_stats(x, scale, bias, eps: float):
+    """LayerNorm with MXU-dot statistics (layout-robust reduction).
+
+    Functionally flax nn.LayerNorm (use_fast_variance f32 stats): mean and
+    E[x^2] are computed as dot-products with a ones-vector (f32 accumulation
+    on the MXU) instead of XLA reduce ops. Why: in the coalesced eval program
+    the video-stream tensors live in an L-minor layout (chosen by XLA for the
+    packed attention formulations — see parallel/step.py _hoist_video_proj),
+    where the feature-axis convert_reduce runs at ~81 GB/s (0.156 ms per
+    (128,194,256) site, six sites = 0.93 ms/batch, traces/r3s_hoist2). A dot
+    contracting the feature axis tolerates the layout.
+
+    Numerics: mean is exact (bf16 products accumulate in f32 on the MXU);
+    E[x^2] squares in the input dtype, so bf16 inputs round each square to
+    bf16 (flax converts to f32 first) — a ~0.2% var perturbation. The gate
+    for this difference is METRIC parity (scripts/tpu_check.py), same as the
+    bf16 in-kernel softmax."""
+    d = x.shape[-1]
+    ones = jnp.ones((d, 1), x.dtype)
+    contract = (((x.ndim - 1,), (0,)), ((), ()))
+    mean = jax.lax.dot_general(
+        x, ones, contract, preferred_element_type=jnp.float32
+    ) / d  # (..., 1) f32
+    mean2 = jax.lax.dot_general(
+        x * x, ones, contract, preferred_element_type=jnp.float32
+    ) / d
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean) * mul + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def apply_ln(parent: nn.Module, norm: nn.LayerNorm, x, *, deterministic: bool = True):
+    """Apply `norm` to x, routing to ln_dot_stats where the dispatch says the
+    XLA reduce would be layout-crippled. Params are created by the REAL
+    nn.LayerNorm on a 1-row slice (dead-code-eliminated), then read from the
+    bound parent — checkpoint layout unchanged (same pattern as the fused
+    LN->Dense path in LinearBlock)."""
+    from mesm_tpu import kernels
+
+    if deterministic and kernels.use_dot_stats_ln(
+        x.size // x.shape[-1], x.shape[-1]
+    ):
+        tiny = x.reshape(-1, x.shape[-1])[:1]
+        _ = norm(tiny)
+        p = parent.variables["params"][norm.name]
+        return ln_dot_stats(x, p["scale"], p["bias"], norm.epsilon)
+    return norm(x)
+
+
 class LinearBlock(nn.Module):
     """[LayerNorm] -> Dropout -> Dense -> [ReLU].
 

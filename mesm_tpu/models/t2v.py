@@ -35,7 +35,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .attention import ProjAttention
-from .layers import FFN, torch_linear_kernel_init
+from .layers import FFN, apply_ln, torch_linear_kernel_init
 
 
 def scrambled_pair_factors(
@@ -111,7 +111,12 @@ class T2VLayer(nn.Module):
         x = src_vid + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
 
         suffix = "_mlm" if (self.two_mlp and is_mlm) else ""
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm1{suffix}")(x)
+        y = apply_ln(
+            self,
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm1{suffix}"),
+            x,
+            deterministic=deterministic,
+        )
         y = FFN(
             self.dim_feedforward,
             self.d_model,
@@ -122,7 +127,12 @@ class T2VLayer(nn.Module):
             name=f"ffn{suffix}",
         )(y, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2{suffix}")(x)
+        x = apply_ln(
+            self,
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2{suffix}"),
+            x,
+            deterministic=deterministic,
+        )
         return x
 
 

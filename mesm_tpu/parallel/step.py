@@ -357,6 +357,8 @@ def make_eval_step(
 
         def fn(params, frozen_text, batch, rng):
             return jitted(params, frozen_text, batch, rng)
+
+        fn._jitted = jitted
     elif superbatch:
         @jax.jit
         def multi_sb(params, frozen_text, stacked, rng):
@@ -372,6 +374,8 @@ def make_eval_step(
                 f"superbatch eval step expects leading axis {coalesce}, got {lead}"
             )
             return multi_sb(params, frozen_text, stacked, rng)
+
+        fn._jitted = multi_sb
     else:
         @jax.jit
         def multi(params, frozen_text, batches, rng):
@@ -387,6 +391,8 @@ def make_eval_step(
                 f"coalesced eval step expects {coalesce} batches, got {len(batches)}"
             )
             return multi(params, frozen_text, tuple(batches), rng)
+
+        fn._jitted = multi
 
     fn.coalesce = max(1, coalesce)
     fn.superbatch = superbatch and coalesce > 1

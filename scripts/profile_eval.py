@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--shortkey-variant", default=None,
                     choices=["reshape", "segmm", "kernel"])
     ap.add_argument("--int8-ffn", action="store_true")
+    ap.add_argument("--dot-stats-ln", action="store_true",
+                    help="compute LN stats as MXU dots at the video-stream "
+                         "sites (models/layers.ln_dot_stats)")
+    ap.add_argument("--dump-hlo", default=None, metavar="PATH",
+                    help="write the OPTIMIZED HLO of the step to PATH and "
+                         "exit (no trace) — for chasing layout copies")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +50,8 @@ def main():
         kernels.SHORTKEY_VARIANT = args.shortkey_variant
     if args.int8_ffn:
         kernels.set_int8_ffn(True)
+    if args.dot_stats_ln:
+        kernels.set_dot_stats_ln(True)
 
     if args.geometry == "charades":
         B, Lv, Dv, Lw, Dt = 128, 194, 2818, 16, 512
@@ -104,6 +112,21 @@ def main():
                 is_training=False, deterministic=True, compute_neg=False, **kw,
             )
             return out["pred_spans"], out["pred_logits"], out["saliency_scores"]
+
+    if args.dump_hlo:
+        bench.log("compiling for HLO dump")
+        if args.coalesce > 1:
+            # the real jitted program with the real (transferred) superbatch
+            # args — jitting the wrapper would bake `sb` in as constants and
+            # hide input-layout copies
+            lowered = step_k._jitted.lower(params, {}, sb, jax.random.PRNGKey(0))
+        else:
+            lowered = fn.lower(params, *fwd_args)
+        txt = lowered.compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        bench.log(f"wrote {len(txt.splitlines())} HLO lines -> {args.dump_hlo}")
+        return
 
     bench.log("compiling")
     for _ in range(3):
