@@ -32,6 +32,26 @@ def ref_eval():
         sys.modules["ftfy"] = stub
     import eval as ref_eval_module
 
+    # The reference's compute_mr_ap uses mp.Pool (fork). Forking this
+    # multithreaded (JAX-initialized) pytest process can deadlock the
+    # children on inherited lock state — observed as a wedged suite with
+    # orphaned pool workers (and forkserver can't re-import the reference's
+    # `eval` module in its clean helper). Swap its `mp` handle for a serial
+    # Pool shim: identical math, no forks, and faster on a 1-core host.
+    class _SerialPool:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def imap_unordered(self, fn, it, chunksize=1):
+            return map(fn, it)
+
+    ref_eval_module.mp = types.SimpleNamespace(Pool=_SerialPool)
     return ref_eval_module
 
 
