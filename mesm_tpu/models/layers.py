@@ -180,7 +180,7 @@ class LinearBlock(nn.Module):
                     relu=self.relu,
                     interpret=jax.default_backend() == "cpu",
                 )
-            x = norm(x)
+            x = apply_ln(self, norm, x, deterministic=deterministic)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = proj(x)
         else:
