@@ -103,9 +103,14 @@ def ln_dot_stats(x, scale, bias, eps: float):
     E[x^2] squares in the input dtype, so bf16 inputs round each square to
     bf16 (flax converts to f32 first) — a ~0.2% var perturbation. The gate
     for this difference is METRIC parity (scripts/tpu_check.py), same as the
-    bf16 in-kernel softmax."""
+    bf16 in-kernel softmax.
+
+    The ones-vector goes through an optimization_barrier: without it XLA's
+    algebraic simplifier rewrites dot(x, ones) straight back into the strided
+    reduce this function exists to avoid (verified on v5e — the r4_lnstats
+    trace came back byte-identical to control until the barrier was added)."""
     d = x.shape[-1]
-    ones = jnp.ones((d, 1), x.dtype)
+    ones = jax.lax.optimization_barrier(jnp.ones((d, 1), x.dtype))
     contract = (((x.ndim - 1,), (0,)), ((), ()))
     mean = jax.lax.dot_general(
         x, ones, contract, preferred_element_type=jnp.float32
