@@ -254,9 +254,14 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     # not affected. So: (a) the warmup MUST fetch, not just block; (b) every
     # timed submission cycles distinct pre-staged superbatches; (c) a reading
     # implying >95% MFU is discarded as a dispatch artifact.
-    base_super = jax.device_put(
-        jax.tree.map(lambda x: jnp.stack([x] * K), jb_eval)
-    )
+    # staged through the SHIPPED stage_superbatch (host stack + one transfer
+    # per field, video features as row-major-pinned 2-D rows) so the bench
+    # measures the production entry layouts — an on-device jnp.stack commits
+    # layouts the timed pipeline never sees (and pays copy.745, BASELINE.md)
+    from mesm_tpu.data.pipeline import stage_superbatch
+
+    host_b = {k: np.asarray(v) for k, v in jb_eval.items()}
+    base_super = stage_superbatch([host_b] * K, cast_bf16=(dtype == "bfloat16"))
     sf0 = base_super["sentence_feat"]
     n_variants = 8
     sf_variants = [

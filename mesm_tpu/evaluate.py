@@ -89,11 +89,12 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
     import contextvars
     import threading
 
-    from .data.pipeline import stage_batch
+    from .data.pipeline import stage_batch, stage_superbatch
     from .runner import compute_dtype_from_opt
     import jax.numpy as jnp
 
     cast = jnp.dtype(compute_dtype_from_opt(opt)) == jnp.bfloat16
+    superbatch = getattr(eval_step, "superbatch", False)
     ds = getattr(loader, "dataset", None)
     visits_before = dict(getattr(ds, "_visit_counts", {}) or {})
     host_sigs = set()
@@ -102,7 +103,12 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
         sig = tuple(sorted((k, np.asarray(v).shape) for k, v in batch.items()))
         if sig not in host_sigs:
             host_sigs.add(sig)
-            staged.append(stage_batch(batch, cast))
+            # superbatch steps are warmed through stage_superbatch so the
+            # compiled specialization carries the SAME entry layouts as the
+            # timed pass (the 2-D pinned video_feat_rows staging); stacking
+            # staged device batches in-program would compile a different —
+            # and then unused — program per shape.
+            staged.append(dict(batch) if superbatch else stage_batch(batch, cast))
     if hasattr(ds, "_visit_counts"):
         ds._visit_counts = visits_before
     if len(staged) <= 1:
@@ -113,8 +119,8 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
         # each thread runs under its own COPY of the caller's context so the
         # kernels.pallas_scope mode is visible during tracing (a Context
         # object is single-entry — it cannot be shared across threads)
-        if getattr(eval_step, "superbatch", False):
-            arg = jax.tree.map(lambda x: jnp.stack([x] * k), jb)
+        if superbatch:
+            arg = stage_superbatch([jb] * k, cast)
         elif k > 1:
             arg = (jb,) * k
         else:

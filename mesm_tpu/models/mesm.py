@@ -270,6 +270,21 @@ class MESM(nn.Module):
         pos_g = self.vid_position_embed(video_mask_g)
         return projed_g, pos_g
 
+    def project_video_rows(self, video_rows, video_mask_g, deterministic=True):
+        """2-D variant of project_video_groups for the superbatch hoist.
+
+        The unique-video features arrive as a row-major-pinned (K*NG*Lv, Dv)
+        array (data/pipeline.stage_superbatch): the H2D transfer then commits
+        exactly the layout the fused LN->Dense consumes, where the transfer
+        path's preferred >=3-D layout forced a full relayout copy of the wide
+        stack on the compute stream (1.49 ms/dispatch at the charades
+        flagship geometry — HLO copy.745, traces/r4_ctrl). The projection is
+        position-wise over the last axis, so the flat row view is exact;
+        `video_mask_g` is (G, Lv). Returns (proj_rows (G*Lv, d), pos_g)."""
+        projed = self.input_vid_proj(video_rows, deterministic=deterministic)
+        pos_g = self.vid_position_embed(video_mask_g)
+        return projed, pos_g
+
     def _txt_pos(self, feat, deterministic):
         if self.cfg.use_txt_pos:
             return self.txt_position_embed(feat, deterministic=deterministic)

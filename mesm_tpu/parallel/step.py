@@ -333,6 +333,27 @@ def make_eval_step(
         induces costs 0.65 in LN-stat reductions but saves ~0.9 of stream
         fusions/copies — net the un-anchored group form wins. Values are
         identical — the projection is deterministic at eval."""
+        vfr = stacked.get("video_feat_rows")
+        if vfr is not None:
+            # 2-D row-major-pinned staging (data/pipeline.stage_superbatch):
+            # the wide rows feed the fused LN->Dense with no entry relayout
+            # copy; only the narrow (rows, d) output reshapes to (K, NG, Lv,
+            # d) in-program (~42 MB vs the 463 MB copy this removes).
+            vm = stacked["video_mask_g"]  # (K, NG, Lv)
+            K, NG, Lv = vm.shape
+            proj, pos = model.apply(
+                {"params": p},
+                vfr,
+                vm.reshape(K * NG, Lv),
+                method="project_video_rows",
+            )
+            stacked = dict(stacked)
+            del stacked["video_feat_rows"]
+            stacked["video_proj_g"] = proj.reshape(K, NG, Lv, proj.shape[-1])
+            stacked["vid_pos_g"] = pos.astype(proj.dtype).reshape(
+                (K, NG) + pos.shape[1:]
+            )
+            return stacked
         vf = stacked.get("video_feat_g")
         if vf is None:
             return stacked

@@ -330,3 +330,39 @@ def test_hoisted_video_projection_matches_in_body():
             np.asarray(out_body[key]), np.asarray(out_hoist[key]),
             rtol=1e-5, atol=1e-5, err_msg=key,
         )
+
+
+def test_video_rows_staging_matches_group_form():
+    """stage_superbatch stages video_feat_g as 2-D row-major-pinned
+    `video_feat_rows`; the hoist's project_video_rows path must match the
+    4-D project_video_groups path exactly (the projection is position-wise,
+    so the flat row view is a pure reshape)."""
+    from mesm_tpu.data.pipeline import stage_superbatch
+
+    model = tiny_model()
+    batches = [device_batch(s) for s in (21, 22)]
+    params = init_params(model, batches[0])
+    host = [jax.device_get(b) for b in batches]
+    stacked = stage_superbatch(host, cast_bf16=False)
+    assert "video_feat_g" not in stacked
+    vfr = stacked["video_feat_rows"]
+    vm = stacked["video_mask_g"]
+    K, NG, Lv_ = vm.shape
+    assert vfr.shape == (K * NG * Lv_, Dv)
+
+    proj_r, pos_r = model.apply(
+        {"params": params}, vfr, jnp.reshape(vm, (K * NG, Lv_)),
+        method="project_video_rows",
+    )
+    vf4 = jnp.stack([b["video_feat_g"] for b in batches])
+    proj_g, pos_g = model.apply(
+        {"params": params},
+        vf4.reshape((K * NG,) + vf4.shape[2:]),
+        jnp.reshape(vm, (K * NG, Lv_)),
+        method="project_video_groups",
+    )
+    np.testing.assert_allclose(
+        np.asarray(proj_r).reshape(np.asarray(proj_g).shape),
+        np.asarray(proj_g), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(pos_r), np.asarray(pos_g), atol=1e-6)
