@@ -173,7 +173,8 @@ class BaseOptions:
                        help="eval batches per device dispatch: K same-shape "
                             "batches run through one compiled program "
                             "(value-identical; amortizes fixed per-dispatch "
-                            "host latency). -1 = auto (8 on TPU, 1 on CPU)")
+                            "host latency). -1 = auto (32 on TPU, 1 on CPU; "
+                            "capped by batches-per-bucket)")
         p.add_argument("--scan_layers", type=str, default="off",
                        choices=["on", "off"],
                        help="fold homogeneous layer stacks into nn.scan "

@@ -183,25 +183,44 @@ def stage_batch(batch, cast_bf16: bool):
     return jb
 
 
+_warned_rowmajor_fallback = False
+
+
 def _put_rows_rowmajor(a):
     """device_put a 2-D array pinned to the row-major (0, 1) layout.
 
     Falls back to a plain device_put where explicit layouts are unsupported
     (CPU test backend, older runtimes) — there the default layout is already
-    row-major, so the pin is a no-op anyway."""
+    row-major, so the pin is a no-op anyway. Only API-availability errors
+    fall back: real transfer failures (OOM, bad device) must propagate, and
+    a silently-dropped pin would reintroduce the 1.49 ms relayout copy with
+    no signal, so the fallback warns once."""
     import jax
 
     try:
         from jax.experimental.layout import Format, Layout
         from jax.sharding import SingleDeviceSharding
+    except ImportError:
+        Format = None
+    if Format is not None:
+        try:
+            fmt = Format(
+                Layout(major_to_minor=(0, 1)),
+                SingleDeviceSharding(jax.devices()[0]),
+            )
+            return jax.device_put(a, fmt)
+        except (TypeError, NotImplementedError, ValueError) as e:
+            global _warned_rowmajor_fallback
+            if not _warned_rowmajor_fallback:
+                _warned_rowmajor_fallback = True
+                import logging
 
-        fmt = Format(
-            Layout(major_to_minor=(0, 1)),
-            SingleDeviceSharding(jax.devices()[0]),
-        )
-        return jax.device_put(a, fmt)
-    except Exception:
-        return jax.device_put(a)
+                logging.getLogger(__name__).warning(
+                    "row-major layout pin unsupported on this backend (%s); "
+                    "falling back to default layout — the superbatch "
+                    "video_feat_rows staging may pay a relayout copy", e
+                )
+    return jax.device_put(a)
 
 
 def stage_superbatch(batches, cast_bf16: bool):

@@ -390,10 +390,24 @@ def make_eval_step(
             )
 
         def fn(params, frozen_text, stacked, rng):
-            lead = {k: v.shape[0] for k, v in stacked.items()}
+            # `video_feat_rows` is staged 2-D as (K*NG*Lv, Dv) by design
+            # (data/pipeline.stage_superbatch row-major pin) — validate it
+            # against the mask shape instead of the per-field K axis.
+            lead = {
+                k: v.shape[0]
+                for k, v in stacked.items()
+                if k != "video_feat_rows"
+            }
             assert set(lead.values()) == {coalesce}, (
                 f"superbatch eval step expects leading axis {coalesce}, got {lead}"
             )
+            vfr = stacked.get("video_feat_rows")
+            if vfr is not None:
+                K, NG, Lv = stacked["video_mask_g"].shape
+                assert vfr.shape[0] == K * NG * Lv, (
+                    f"video_feat_rows expects {K}*{NG}*{Lv}={K * NG * Lv} rows, "
+                    f"got {vfr.shape[0]}"
+                )
             return multi_sb(params, frozen_text, stacked, rng)
 
         fn._jitted = multi_sb

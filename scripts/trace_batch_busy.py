@@ -26,17 +26,32 @@ def batch_busy_ms(trace_dir: str, iters: int = 10, coalesce: int = 8):
     while_ms = sum(ms for op, ms in totals.items() if op.startswith("%while"))
     outside_ms = 0.0
     inside_ms = 0.0
+    stragglers = []
     for op, ms in totals.items():
         if op.startswith("%while"):
             continue
-        if counts[op] == per_dispatch:
-            outside_ms += ms
-        elif counts[op] % in_scan == 0:
+        # In-scan test first: with coalesce=1, in_scan == per_dispatch and
+        # body ops would otherwise be double-counted into outside_ms (they
+        # are already contained in the %while total). When there is no scan
+        # at all (while_ms == 0, e.g. an uncoalesced dispatch), every op is
+        # outside by definition.
+        if while_ms > 0 and counts[op] % in_scan == 0:
             inside_ms += ms
-        else:
-            # warm-up / stragglers with odd counts: attribute per-launch to
-            # whichever bucket matches more closely, but flag them.
+        elif counts[op] == per_dispatch:
             outside_ms += ms
+        else:
+            # warm-up / stragglers with odd counts: bucket as outside (the
+            # conservative choice — inflates rather than hides busy time)
+            # and flag them so the anomaly is visible.
+            stragglers.append((op, counts[op], ms))
+            outside_ms += ms
+    for op, n, ms in stragglers:
+        print(
+            f"[straggler] {op}: count {n} matches neither per-dispatch "
+            f"({per_dispatch}) nor in-scan (k*{in_scan}); {ms:.3f} ms "
+            "bucketed as outside",
+            file=sys.stderr,
+        )
     n_batches = iters * coalesce
     return {
         "while_ms_per_batch": while_ms / n_batches,
