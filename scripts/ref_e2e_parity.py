@@ -1,0 +1,173 @@
+"""End-to-end reference-vs-rebuild parity on a shared synthetic dataset.
+
+The strongest parity statement available without the released datasets
+(they are not downloadable in this container): run the ACTUAL reference
+pipeline end-to-end — its own `train.py` (a few CPU epochs) and its own
+`eval.py` (reference /root/reference/train.py:99-229, eval.py:488-537) —
+on a generated on-disk dataset root, then evaluate the SAME torch
+checkpoint with mesm_tpu's `evaluate.py` (byte-sniffed torch load +
+convert.py) on the SAME data, and diff every shared brief-metric key.
+
+Both pipelines are deterministic given the checkpoint, the annotations,
+and the features, so the target is 0.0 on every key (acceptance gate:
+within 0.3, the north-star tolerance). Exercises the full L7->L1 stack on
+BOTH sides: config parse, vocab/tokenizer, annotation parsing, HDF5
+reading, collate, model forward, span decode, post-processing, metrics.
+
+Writes REF_E2E_PARITY.json at the repo root. Run:  (CPU, ~4 min)
+
+    python scripts/ref_e2e_parity.py [--workdir DIR] [--epochs N]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def log(msg):
+    print(f"[ref-e2e] {msg}", file=sys.stderr, flush=True)
+
+
+def run_reference(mode: str, args: list[str]) -> None:
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "_ref_cli.py"), mode] + args
+    log(" ".join(cmd))
+    env = dict(os.environ)
+    # the reference is pure torch/numpy; keep JAX's TPU plugin out of its
+    # subprocess entirely (the axon sitecustomize probes the backend)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-8000:] + "\n")
+        raise RuntimeError(f"reference {mode} failed rc={r.returncode}")
+
+
+def find_one(pattern: str) -> str:
+    hits = sorted(glob.glob(pattern))
+    assert len(hits) >= 1, f"no match for {pattern}"
+    return hits[-1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/mesm_ref_e2e")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--n-videos", type=int, default=8)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    root = args.workdir
+    os.makedirs(root, exist_ok=True)
+
+    from synth_root import make_charades_root
+
+    cfg_path = make_charades_root(root, n_videos=args.n_videos)
+    cfg = json.load(open(cfg_path))
+    cfg["n_epoch"] = args.epochs
+    cfg["device"] = "cpu"
+    cfg["num_workers"] = 0  # 1-core host; in-process loading on both sides
+    cfg["result_root"] = os.path.join(root, "ref_results")
+    json.dump(cfg, open(cfg_path, "w"), indent=2)
+
+    # ---- 1. reference train ------------------------------------------------
+    log(f"reference train.py: {args.epochs} epochs on {args.n_videos} videos")
+    run_reference("train", ["--config_file", cfg_path])
+    ref_run_dir = find_one(os.path.join(cfg["result_root"], "charades-*"))
+    assert os.path.exists(os.path.join(ref_run_dir, "model_test_best.ckpt")), (
+        os.listdir(ref_run_dir)
+    )
+    log(f"reference run dir: {ref_run_dir}")
+
+    # ---- 2. reference eval on its own best checkpoint ----------------------
+    eval_cfg = {
+        "is_inference": True,
+        "inference_id": "refe2e",
+        "inference_result_dir": os.path.join(root, "ref_inference"),
+        "trained_result_dir": ref_run_dir,
+        "num_workers": 0,
+        "nms_thd": -1,
+        "device": "cpu",
+        "resume_all": False,
+        "sort_results": True,
+        "max_ts_val": cfg["max_ts_val"],
+        "ann_path": cfg["ann_path"],
+        "feat_files": cfg["feat_files"],
+        "text_model_path": cfg["text_model_path"],
+    }
+    eval_cfg_path = os.path.join(root, "ref_eval_cfg.json")
+    json.dump(eval_cfg, open(eval_cfg_path, "w"), indent=2)
+    run_reference("eval", ["--config_file", eval_cfg_path])
+    ref_metrics_path = find_one(
+        os.path.join(root, "ref_inference", "*", "*metrics.json")
+    )
+    ref_brief = json.load(open(ref_metrics_path))["brief"]
+    log(f"reference brief: {json.dumps(ref_brief, sort_keys=True)}")
+
+    # ---- 3. mesm_tpu eval on the SAME torch checkpoint ---------------------
+    # TestOptions reloads the REFERENCE run's opt.json (same whitelist
+    # semantics as the reference utils/config.py:181-189); evaluate.py
+    # byte-sniffs the torch pickle and converts (mesm_tpu/convert.py).
+    from mesm_tpu.evaluate import inference
+
+    ours_cfg = dict(eval_cfg)
+    ours_cfg["inference_result_dir"] = os.path.join(root, "tpu_inference")
+    ours_cfg_path = os.path.join(root, "tpu_eval_cfg.json")
+    json.dump(ours_cfg, open(ours_cfg_path, "w"), indent=2)
+    metrics, _ = inference(["--config_file", ours_cfg_path])
+    our_brief = metrics["brief"]
+    log(f"mesm_tpu brief: {json.dumps(our_brief, sort_keys=True)}")
+
+    # ---- 4. diff ------------------------------------------------------------
+    shared = sorted(set(ref_brief) & set(our_brief))
+    assert shared, (sorted(ref_brief), sorted(our_brief))
+    diffs, worst = {}, 0.0
+    for k in shared:
+        a, b = ref_brief[k], our_brief[k]
+        if a is None or b is None:
+            diffs[k] = {"ref": a, "tpu": b, "diff": None}
+            continue
+        d = abs(float(a) - float(b))
+        diffs[k] = {"ref": a, "tpu": b, "diff": round(d, 4)}
+        worst = max(worst, d)
+    only_ref = sorted(set(ref_brief) - set(our_brief))
+    only_tpu = sorted(set(our_brief) - set(ref_brief))
+
+    out = {
+        "ok": worst <= 0.3,
+        "worst_abs_diff": round(worst, 4),
+        "tolerance": 0.3,
+        "shared_keys": len(shared),
+        "per_key": diffs,
+        "only_in_reference": only_ref,
+        "only_in_tpu": only_tpu,
+        "protocol": {
+            "dataset": f"synthetic charades root, {args.n_videos} videos",
+            "train": f"reference train.py, {args.epochs} epochs, cpu, seed "
+                     f"{cfg['seed']}",
+            "checkpoint": os.path.join(ref_run_dir, "model_test_best.ckpt"),
+            "reference_eval": "reference eval.py (TestOptions, mp metrics)",
+            "tpu_eval": "mesm_tpu.evaluate on the converted torch ckpt",
+            "pos_tagger": "both sides pinned to the closed-class heuristic "
+                          "(scripts/_ref_cli.py; NLTK tagger data absent)",
+        },
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "REF_E2E_PARITY.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    log(
+        f"wrote REF_E2E_PARITY.json: ok={out['ok']} worst={worst:.4f} over "
+        f"{len(shared)} keys ({out['wall_s']}s)"
+    )
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,14 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: long-running test (excluded from the smoke subset)"
+        "markers", "slow: long-running test (excluded from the `-m 'not slow'` tier)"
+    )
+    config.addinivalue_line(
+        "markers",
+        "smoke: close-out gate subset (<~7 min total) covering every eval/"
+        "train dispatch arity: coalesce=1, tuple-K, superbatch (incl. "
+        "video_feat_g and rows staging), dedup/hoist, grad-accum, plus "
+        "seconds-level span/config/metric sanity. Run via scripts/close_out.sh",
     )
 
 

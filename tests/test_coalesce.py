@@ -11,10 +11,13 @@ from __future__ import annotations
 
 import types
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # close-out gate: every eval dispatch arity
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from synth import make_batch
 from mesm_tpu.losses import CriterionConfig

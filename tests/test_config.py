@@ -7,6 +7,8 @@ import pytest
 
 from mesm_tpu.config import BaseOptions, TestOptions
 
+pytestmark = pytest.mark.smoke
+
 
 def _write(path, obj):
     with open(path, "w") as f:

@@ -27,7 +27,9 @@ from mesm_tpu.parallel import (
     make_train_step,
 )
 
-pytestmark = pytest.mark.slow  # one train-step + one grad compile
+# slow (one train-step + one grad compile) but also in the close-out smoke
+# gate: grad-accum is a dispatch arity the gate must cover
+pytestmark = [pytest.mark.slow, pytest.mark.smoke]
 
 B, Lv, Dv, Lw, Dt, G = 8, 16, 24, 10, 20, 2
 VOCAB = 64

@@ -1,5 +1,8 @@
 """Metric suite tests with hand-computable goldens."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from mesm_tpu.metrics import (
     compute_mr_ap,

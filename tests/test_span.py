@@ -2,6 +2,9 @@
 utils/span_utils.py:12-19,31-38,54-60,105-109 and utils/data_utils.py)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from mesm_tpu.ops import span
 
