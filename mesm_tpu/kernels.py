@@ -128,8 +128,12 @@ INT8_FFN: bool = False
 # six video-stream LN sites whose feature-axis convert_reduce runs strided
 # (~81 GB/s) in the L-minor layout the packed formulations induce — 0.93
 # ms/batch of the 3.66 busy total at the flagship geometry
-# (traces/r3s_hoist2). Default OFF until the in-model trace verdict; eval
-# (deterministic) only — the train path never sees the L-minor layouts.
+# (traces/r3s_hoist2). MEASURED NEUTRAL (round-4 verdict): in-model A/B at
+# the flagship bf16 co8 geometry reads 3.659 ms/batch control vs 3.661
+# dot-stats (traces/r4_ctrl vs r4_lnstats, scripts/trace_batch_busy.py) —
+# the MXU dot formulation costs exactly what the strided VPU reduce costs
+# at (24832, 256). Default stays OFF; eval (deterministic) only — the train
+# path never sees the L-minor layouts.
 DOT_STATS_LN: bool = False
 # engage only where the slow sites live: big row counts, narrow features
 DOT_STATS_MIN_ROWS = 4096

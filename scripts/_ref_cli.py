@@ -52,6 +52,16 @@ def _heuristic_pos_tag(words):
 
 nltk.pos_tag = _heuristic_pos_tag
 
+# The reference saves argparse.Namespace inside its checkpoints
+# (train.py:185-214); torch >= 2.6 defaults torch.load(weights_only=True)
+# which rejects that global. These are checkpoints this very harness just
+# produced locally, so allowlisting the type is safe here.
+import argparse
+
+import torch.serialization
+
+torch.serialization.add_safe_globals([argparse.Namespace])
+
 
 def main():
     mode = sys.argv.pop(1)

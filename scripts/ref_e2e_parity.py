@@ -115,10 +115,23 @@ def main() -> int:
     # TestOptions reloads the REFERENCE run's opt.json (same whitelist
     # semantics as the reference utils/config.py:181-189); evaluate.py
     # byte-sniffs the torch pickle and converts (mesm_tpu/convert.py).
+    #
+    # Numerics protocol: TPU fp32 matmuls default to bf16-input MXU passes
+    # (~5e-3 output noise), which flips near-tie window rankings on an
+    # undertrained synthetic checkpoint even though real trained checkpoints
+    # have clear margins. Parity here is a PIPELINE statement, so pin true
+    # fp32 matmuls and the kernels off (bf16/kernel metric-parity is gated
+    # separately: scripts/tpu_check.py, tests test_bf16_eval_metric_parity).
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from mesm_tpu.evaluate import inference
 
     ours_cfg = dict(eval_cfg)
     ours_cfg["inference_result_dir"] = os.path.join(root, "tpu_inference")
+    ours_cfg["compute_dtype"] = "float32"
+    ours_cfg["pallas_attention"] = "off"
     ours_cfg_path = os.path.join(root, "tpu_eval_cfg.json")
     json.dump(ours_cfg, open(ours_cfg_path, "w"), indent=2)
     metrics, _ = inference(["--config_file", ours_cfg_path])
@@ -126,6 +139,34 @@ def main() -> int:
     log(f"mesm_tpu brief: {json.dumps(our_brief, sort_keys=True)}")
 
     # ---- 4. diff ------------------------------------------------------------
+    # submission-level: per-query windows + saliency, the rawest artifact
+    import numpy as np
+
+    def load_jsonl(p):
+        return {
+            json.loads(l)["qid"]: json.loads(l) for l in open(p) if l.strip()
+        }
+
+    ref_sub = load_jsonl(
+        find_one(os.path.join(root, "ref_inference", "*", "*submission.jsonl"))
+    )
+    our_sub = load_jsonl(
+        find_one(os.path.join(root, "tpu_inference", "*", "*submission.jsonl"))
+    )
+    assert set(ref_sub) == set(our_sub)
+    win_d = sal_d = 0.0
+    for q in ref_sub:
+        a = np.asarray(ref_sub[q]["pred_relevant_windows"], np.float64)
+        b = np.asarray(our_sub[q]["pred_relevant_windows"], np.float64)
+        if a.shape == b.shape:
+            win_d = max(win_d, float(np.abs(a - b).max()))
+        else:
+            win_d = float("inf")
+        sa = np.asarray(ref_sub[q]["pred_saliency_scores"], np.float64)
+        sb = np.asarray(our_sub[q]["pred_saliency_scores"], np.float64)
+        sal_d = max(sal_d, float(np.abs(sa - sb).max()))
+    log(f"submission diffs: windows {win_d:.6f}, saliency {sal_d:.6f}")
+
     shared = sorted(set(ref_brief) & set(our_brief))
     assert shared, (sorted(ref_brief), sorted(our_brief))
     diffs, worst = {}, 0.0
@@ -144,6 +185,10 @@ def main() -> int:
         "ok": worst <= 0.3,
         "worst_abs_diff": round(worst, 4),
         "tolerance": 0.3,
+        "submission_max_abs_diff": {
+            "pred_relevant_windows": round(win_d, 6),
+            "pred_saliency_scores": round(sal_d, 6),
+        },
         "shared_keys": len(shared),
         "per_key": diffs,
         "only_in_reference": only_ref,
