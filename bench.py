@@ -263,7 +263,14 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     host_b = {k: np.asarray(v) for k, v in jb_eval.items()}
     base_super = stage_superbatch([host_b] * K, cast_bf16=(dtype == "bfloat16"))
     sf0 = base_super["sentence_feat"]
-    n_variants = 8
+    # iters x 2 rounds of DISTINCT inputs: every timed submission must be
+    # unique (memoization discipline above). iters=12, up from 4: with only
+    # 4 submit-ahead dispatches per round, the pipeline ramp (first-dispatch
+    # relay RTT before the device has queued work) was ~11% of the timed
+    # wall — steady-state throughput needs the ramp amortized over more
+    # dispatches (round-4 measurement; 12 dispatches ~ 1.4 s device time).
+    iters = 12
+    n_variants = 2 * iters
     sf_variants = [
         jax.device_put(sf0 + jnp.asarray((i + 1) * 1e-4, sf0.dtype))
         for i in range(n_variants)
@@ -276,7 +283,6 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
 
     r = step_k(flat_params, {}, base_super, rng0)
     jax.device_get(r[0]["scores"])  # force compile + exec (see note above)
-    iters = 4
     fast_k = 0.0
     for rd in range(2):  # best-of-2, as in measure()
         t0 = time.perf_counter()
@@ -489,11 +495,12 @@ def train_baseline_bench(B=32):
 
     orig_match = C._match
     C._match = faithful_match
-    try:
+    def run(tag):
+        nonlocal state
         with kernels.pallas_scope("off"):
             train_step = make_train_step(model, ccfg, encode_text, tx)
             rng = jax.random.PRNGKey(7)
-            log("[train-baseline] compiling + measuring (host-sync matcher, fp32)")
+            log(f"[train-baseline] compiling + measuring ({tag}, fp32)")
             for _ in range(3):
                 state, metrics = train_step(state, {}, jb, rng)
             float(metrics["loss_overall"])  # real fetch: force deferred compile
@@ -502,7 +509,37 @@ def train_baseline_bench(B=32):
             for _ in range(iters):
                 state, metrics = train_step(state, {}, jb, rng)
                 float(metrics["loss_overall"])  # reference per-step meter sync
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0, iters
+
+    # This environment's remote-compile relay cannot run programs containing
+    # io_callback: the host-sync matcher program died 3x on 2026-08-19
+    # (UNAVAILABLE at compile twice, ABORTED at the first fetch once), each
+    # attempt blocking 20-30 minutes. Default here is therefore the
+    # reference-shaped fp32 step (on-device matcher, kernels off, per-step
+    # loss fetch like the reference's float(loss) meters, train.py:75-77).
+    # The omitted per-step host matcher sync makes THIS BASELINE FASTER than
+    # the reference's semantics, so the published train vs_baseline is an
+    # UNDERSTATEMENT. On hardware with a local host, set
+    # MESM_TRAIN_BASELINE_SYNC=1 to measure the faithful io_callback sync.
+    import os as _os
+
+    try:
+        if _os.environ.get("MESM_TRAIN_BASELINE_SYNC") == "1":
+            try:
+                dt, iters = run("host-sync matcher")
+            except jax.errors.JaxRuntimeError as e:
+                log(f"[train-baseline] host-sync matcher program failed over "
+                    f"this relay ({type(e).__name__}: {str(e)[:80]}) — "
+                    "falling back to the reference-shaped fp32 step")
+                C._match = orig_match
+                state = TrainState(
+                    step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=tx.init(params),
+                )
+                dt, iters = run("reference-shaped, on-device matcher")
+        else:
+            C._match = orig_match
+            dt, iters = run("reference-shaped, on-device matcher")
     finally:
         C._match = orig_match
     rows = B * iters / dt
