@@ -250,6 +250,7 @@ def stage_superbatch(batches, cast_bf16: bool):
     import numpy as np
 
     keys = batches[0].keys()
+    rows_staged = "video_feat_g" in keys
     jb = {}
     for k in keys:
         a = np.stack([np.asarray(b[k]) for b in batches])
@@ -260,6 +261,15 @@ def stage_superbatch(batches, cast_bf16: bool):
                 a.reshape(-1, a.shape[-1])
             )
             continue
+        if k == "video_slot" and rows_staged:
+            from mesm_tpu import kernels as _k
+
+            if _k.FLAT_HOIST:
+                # FLAT_HOIST (measured negative, see parallel/step.py):
+                # the flat projection is gathered with a GLOBAL slot, so
+                # bake k*NG into batch k's slots
+                NG = np.asarray(batches[0]["video_feat_g"]).shape[0]
+                a = a + (np.arange(len(batches), dtype=a.dtype) * NG)[:, None]
         jb[k] = jax.device_put(a)
     if "ss_video_feat_groups" in jb:
         slot = jb.pop("ss_group_slot")  # (K, B)

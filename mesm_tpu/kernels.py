@@ -191,6 +191,17 @@ def use_int8_ffn() -> bool:
 #                                  see use_shortquery_packed)
 SHORTKEY_VARIANT = "segmm"
 
+# FLAT superbatch projection hoist — MEASURED NEGATIVE on v5e, default OFF.
+# Keeping the hoisted dedup projection + sine positions 2-D (R, d) as
+# scan-loop invariants (in-body row gather with a global slot) removes the
+# 4-D sublane-retiling copies outside the scan (outside 0.264 -> 0.241
+# ms/batch) but the in-body flat gather costs far more than it saves:
+# scan-body busy 3.054 -> 3.364 ms/batch, bench 37,329 -> 34,898 rows/s
+# (traces/r4_k32_pos vs r4_k32_flat, 2026-08-19). Kept in-tree (value-parity
+# tested via tests/test_coalesce.py::test_flat_hoist_matches_group_form) for
+# future hardware where gathers are cheaper relative to retiles.
+FLAT_HOIST: bool = False
+
 
 def use_fused_ln_dense(D: int) -> bool:
     """Dispatch for the fused LayerNorm->Dense input-projection kernel."""

@@ -182,7 +182,14 @@ class MESM(nn.Module):
         self.input_txt_proj = InputProj(
             d, c.n_input_proj, c.input_dropout, dtype=c.dtype, name="input_txt_proj"
         )
-        self.vid_position_embed = SinePositionEmbedding(d, dtype=jnp.float32)
+        # pos dtype = compute dtype: every consumer adds pos to compute-dtype
+        # activations, so emitting bf16 directly (under bf16 compute) saves
+        # the full-tensor f32 materialization + late cast; values are
+        # identical (sin/cos run in f32 inside, the cast lands on the same
+        # numbers). Under f32 compute this is exactly the old behavior.
+        self.vid_position_embed = SinePositionEmbedding(
+            d, dtype=c.dtype if c.dtype is not None else jnp.float32
+        )
         if c.use_txt_pos:
             self.txt_position_embed = TrainablePositionEmbedding(
                 c.max_words_l + 1 if c.rec_ss else c.max_words_l,
@@ -285,6 +292,18 @@ class MESM(nn.Module):
         pos_g = self.vid_position_embed(video_mask_g)
         return projed, pos_g
 
+    def project_video_rows_flat(self, video_rows, video_mask_g, deterministic=True):
+        """Fully-flat variant of project_video_rows: both outputs stay 2-D
+        (R = G*Lv rows, d) — projection (position-wise, so the flat view is
+        exact) AND sine positions (sine_position_embedding_rows, bit-equal
+        to the 3-D form flattened). Consumed via the `video_proj_rows` /
+        `vid_pos_rows` kwargs with GLOBAL `video_slot`, avoiding every >=3-D
+        retiling copy on the hoisted hand-off. Returns (proj (R, d),
+        pos (R, d))."""
+        projed = self.input_vid_proj(video_rows, deterministic=deterministic)
+        pos = self.vid_position_embed.rows(video_mask_g)
+        return projed, pos
+
     def _txt_pos(self, feat, deterministic):
         if self.cfg.use_txt_pos:
             return self.txt_position_embed(feat, deterministic=deterministic)
@@ -343,12 +362,27 @@ class MESM(nn.Module):
         video_slot: Optional[jnp.ndarray] = None,  # (B,) row -> unique video
         video_proj_g: Optional[jnp.ndarray] = None,  # (NG, Lv, d) pre-projected
         vid_pos_g: Optional[jnp.ndarray] = None,  # (NG, Lv, d) pre-computed pos
+        video_proj_rows: Optional[jnp.ndarray] = None,  # (R, d) flat pre-proj
+        vid_pos_rows: Optional[jnp.ndarray] = None,  # (R, d) flat pre-pos
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         B = video_mask.shape[0]
         det = deterministic
 
-        if video_proj_g is not None:
+        if video_proj_rows is not None:
+            # FLAT projection hoist (make_eval_step._hoist_video_proj, rows
+            # form): the hoisted projection and sine positions stay 2-D
+            # (R = K*NG*Lv rows) end-to-end — the 4-D (K, NG, Lv, d) view a
+            # group-shaped hand-off needs forces sublane-retiling copies
+            # (traces/r4_k32_pos: reshape.418/419 + copy.737 = 0.06
+            # ms/batch). `video_slot` is GLOBAL here (k*NG + slot, staged by
+            # data/pipeline.stage_superbatch), so one row gather per batch
+            # reconstructs (B, Lv, d) exactly as the group form would.
+            Lv = video_mask.shape[1]
+            row_idx = video_slot[:, None] * Lv + jnp.arange(Lv)[None, :]
+            projed_video_feat = video_proj_rows[row_idx]
+            vid_position = vid_pos_rows[row_idx].astype(projed_video_feat.dtype)
+        elif video_proj_g is not None:
             # projection hoisted out of the coalesced eval scan by the step
             # builder (make_eval_step._hoist_video_proj via
             # project_video_groups); gather rows from the narrow output.
@@ -384,7 +418,7 @@ class MESM(nn.Module):
                 # (a second, independent projection draw of the same video —
                 # reference model.py:200; identical to the main projection
                 # when deterministic, so the dedup gather applies here too)
-                if video_proj_g is not None:
+                if video_proj_g is not None or video_proj_rows is not None:
                     batched_vid = projed_video_feat  # hoisted dedup projection
                 elif video_feat_g is not None:
                     batched_vid = self.input_vid_proj(video_feat_g, deterministic=det)[

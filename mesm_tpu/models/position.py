@@ -30,13 +30,58 @@ def sine_position_embedding(
         eps = 1e-6
         x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
 
-    i = jnp.arange(num_pos_feats, dtype=jnp.float32)
-    dim_t = temperature ** (2 * jnp.floor(i / 2) / num_pos_feats)
-    pos = x_embed[:, :, None] / dim_t  # (B, L, F)
-    # interleave sin on even channels, cos on odd channels
-    pos = jnp.stack([jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])], axis=3)
+    # Half-frequency formulation: the reference's dim_t (position_encoding.py
+    # :35-72) satisfies dim_t[2k] == dim_t[2k+1] == temperature^(2k/F), so
+    # channel 2k = sin(x/dim_t[2k]) and channel 2k+1 = cos(x/dim_t[2k]) need
+    # only F/2 distinct angles — BIT-IDENTICAL values to the even/odd-strided
+    # original, but with no strided slices: the strided
+    # stack([sin(pos[...,0::2]), cos(pos[...,1::2])]) form materialized a
+    # full-F f32 quotient and lowered to a pad+concat+relayout chain costing
+    # ~0.22 ms/batch OUTSIDE the eval scan at the flagship geometry
+    # (traces/r4_k32: fusion.985/986 + pad_maximum + copy.733/751 +
+    # mini-gather slices are all this op). Here sin/cos are computed on the
+    # contiguous (B, L, F/2) angle tensor, cast to the TARGET dtype first
+    # (the f32->bf16 cast is values-equal wherever it lands), and
+    # interleaved by one minor-axis stack+reshape.
+    half = num_pos_feats // 2
+    i = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = temperature ** (2.0 * i / num_pos_feats)
+    angle = x_embed[:, :, None] / inv_freq  # (B, L, F/2) f32
+    pos = jnp.stack(
+        [jnp.sin(angle).astype(dtype), jnp.cos(angle).astype(dtype)], axis=3
+    )
     pos = pos.reshape(pos.shape[0], pos.shape[1], -1)
     return pos.astype(dtype)
+
+
+def sine_position_embedding_rows(
+    mask: jnp.ndarray,  # (G, L) valid-mask
+    num_pos_feats: int,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+    scale: float = 2 * math.pi,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(G, L) valid-mask -> (G*L, F) FLAT sine embedding, bit-identical to
+    `sine_position_embedding(mask).reshape(G*L, F)`.
+
+    2-D variant for the superbatch projection hoist: only the tiny (G, L)
+    cumsum sees the 2-D group view; the wide F-axis expansion happens
+    directly on (G*L, F/2) rows, so no >=3-D tensor (and none of the
+    sublane-retiling copies a (G, L, F) tiled layout forces when reshaped
+    flat — traces/r4_k32_pos: reshape.419 + copy.737 = 0.04 ms/batch)."""
+    x_embed = jnp.cumsum(mask.astype(jnp.float32), axis=1)
+    if normalize:
+        eps = 1e-6
+        x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+    half = num_pos_feats // 2
+    i = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = temperature ** (2.0 * i / num_pos_feats)
+    angle = x_embed.reshape(-1)[:, None] / inv_freq  # (G*L, F/2) f32
+    pos = jnp.stack(
+        [jnp.sin(angle).astype(dtype), jnp.cos(angle).astype(dtype)], axis=2
+    )
+    return pos.reshape(angle.shape[0], -1)
 
 
 class SinePositionEmbedding(nn.Module):
@@ -47,6 +92,16 @@ class SinePositionEmbedding(nn.Module):
 
     def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
         return sine_position_embedding(
+            mask,
+            self.num_pos_feats,
+            self.temperature,
+            self.normalize,
+            dtype=self.dtype,
+        )
+
+    def rows(self, mask: jnp.ndarray) -> jnp.ndarray:
+        """Flat (G*L, F) form — see sine_position_embedding_rows."""
+        return sine_position_embedding_rows(
             mask,
             self.num_pos_feats,
             self.temperature,

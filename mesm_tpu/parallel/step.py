@@ -98,6 +98,8 @@ def _model_kwargs(batch, dedup_video: bool = False):
             video_slot=batch.get("video_slot"),
             video_proj_g=batch.get("video_proj_g"),
             vid_pos_g=batch.get("vid_pos_g"),
+            video_proj_rows=batch.get("video_proj_rows"),
+            vid_pos_rows=batch.get("vid_pos_rows"),
         )
     return kw
 
@@ -339,8 +341,34 @@ def make_eval_step(
             # the wide rows feed the fused LN->Dense with no entry relayout
             # copy; only the narrow (rows, d) output reshapes to (K, NG, Lv,
             # d) in-program (~42 MB vs the 463 MB copy this removes).
+            #
+            # MEASURED NEGATIVE (round 4, kept in-tree behind FLAT_HOIST):
+            # keeping the projection/pos FLAT 2-D as scan-loop invariants and
+            # row-gathering them in the body with a global slot removes the
+            # 4-D retiling copies outside the scan (0.264 -> 0.241 ms/batch)
+            # but the in-body flat gather costs far more than it saves:
+            # scan-body busy 3.054 -> 3.364, bench 37,329 -> 34,898 rows/s
+            # (traces/r4_k32_pos vs r4_k32_flat). Value parity of both forms
+            # is pinned by tests/test_coalesce.py.
+            from mesm_tpu import kernels as _k
+
             vm = stacked["video_mask_g"]  # (K, NG, Lv)
             K, NG, Lv = vm.shape
+            if _k.FLAT_HOIST:
+                proj, pos = model.apply(
+                    {"params": p},
+                    vfr,
+                    vm.reshape(K * NG, Lv),
+                    method="project_video_rows_flat",
+                )
+                stacked = dict(stacked)
+                del stacked["video_feat_rows"]
+                del stacked["video_mask_g"]  # only the hoist consumed it
+                invariant = {
+                    "video_proj_rows": proj,
+                    "vid_pos_rows": pos.astype(proj.dtype),
+                }
+                return stacked, invariant
             proj, pos = model.apply(
                 {"params": p},
                 vfr,
@@ -353,10 +381,10 @@ def make_eval_step(
             stacked["vid_pos_g"] = pos.astype(proj.dtype).reshape(
                 (K, NG) + pos.shape[1:]
             )
-            return stacked
+            return stacked, {}
         vf = stacked.get("video_feat_g")
         if vf is None:
-            return stacked
+            return stacked, {}
         K, NG = vf.shape[:2]
         vm = stacked["video_mask_g"]
         proj, pos = model.apply(
@@ -369,7 +397,7 @@ def make_eval_step(
         del stacked["video_feat_g"]
         stacked["video_proj_g"] = proj.reshape((K, NG) + proj.shape[1:])
         stacked["vid_pos_g"] = pos.astype(proj.dtype).reshape((K, NG) + pos.shape[1:])
-        return stacked
+        return stacked, {}
 
     if coalesce <= 1:
         @jax.jit
@@ -384,9 +412,10 @@ def make_eval_step(
         @jax.jit
         def multi_sb(params, frozen_text, stacked, rng):
             p = _params(params)  # unravel once, outside the scan body
-            stacked = _hoist_video_proj(p, stacked)
+            stacked, invariant = _hoist_video_proj(p, stacked)
             return jax.lax.map(
-                lambda b: eval_step(p, frozen_text, b, rng), stacked
+                lambda b: eval_step(p, frozen_text, {**b, **invariant}, rng),
+                stacked,
             )
 
         def fn(params, frozen_text, stacked, rng):
@@ -416,9 +445,10 @@ def make_eval_step(
         def multi(params, frozen_text, batches, rng):
             p = _params(params)  # unravel once, outside the scan body
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-            stacked = _hoist_video_proj(p, stacked)
+            stacked, invariant = _hoist_video_proj(p, stacked)
             return jax.lax.map(
-                lambda b: eval_step(p, frozen_text, b, rng), stacked
+                lambda b: eval_step(p, frozen_text, {**b, **invariant}, rng),
+                stacked,
             )
 
         def fn(params, frozen_text, batches, rng):

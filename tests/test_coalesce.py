@@ -335,6 +335,37 @@ def test_hoisted_video_projection_matches_in_body():
         )
 
 
+def test_flat_hoist_matches_group_form():
+    """FLAT_HOIST (measured negative on v5e, kernels.py) must stay
+    value-identical to the default group-form hoist: same stage_superbatch
+    inputs through make_eval_step(superbatch=True) with the flag on/off."""
+    from mesm_tpu import kernels
+    from mesm_tpu.data.pipeline import stage_superbatch
+
+    model = tiny_model()
+    batches = [device_batch(s) for s in (31, 32)]
+    params = init_params(model, batches[0])
+    host = [jax.device_get(b) for b in batches]
+    rng = jax.random.PRNGKey(5)
+
+    sb = make_eval_step(model, None, encode_text, with_loss=False, coalesce=2,
+                        superbatch=True)
+    p_group, _ = sb(params, {}, stage_superbatch(host, cast_bf16=False), rng)
+
+    kernels.FLAT_HOIST = True
+    try:
+        sb2 = make_eval_step(model, None, encode_text, with_loss=False,
+                             coalesce=2, superbatch=True)
+        p_flat, _ = sb2(params, {}, stage_superbatch(host, cast_bf16=False), rng)
+    finally:
+        kernels.FLAT_HOIST = False
+    for key in p_group:
+        np.testing.assert_allclose(
+            np.asarray(p_flat[key]), np.asarray(p_group[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+
+
 def test_video_rows_staging_matches_group_form():
     """stage_superbatch stages video_feat_g as 2-D row-major-pinned
     `video_feat_rows`; the hoist's project_video_rows path must match the
