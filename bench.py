@@ -489,6 +489,10 @@ def train_baseline_bench(B=32):
     log("[train-baseline] shape-only param init")
     params = shape_only_params(model, args, kw, is_training=True)
     tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
+    # snapshot BEFORE any train_step call: the step donates its state
+    # (donate_argnums), so a failed host-sync attempt leaves the original
+    # params buffers deleted — the fallback must rebuild from a copy
+    pristine = jax.tree.map(jnp.copy, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
     )
@@ -532,9 +536,13 @@ def train_baseline_bench(B=32):
                     f"this relay ({type(e).__name__}: {str(e)[:80]}) — "
                     "falling back to the reference-shaped fp32 step")
                 C._match = orig_match
+                # rebuild from the pre-donation snapshot: the failed
+                # attempt's train_step calls donated (deleted) the original
+                # params buffers even though the program never finished
+                fresh = jax.tree.map(jnp.copy, pristine)
                 state = TrainState(
-                    step=jnp.zeros((), jnp.int32), params=params,
-                    opt_state=tx.init(params),
+                    step=jnp.zeros((), jnp.int32), params=fresh,
+                    opt_state=tx.init(fresh),
                 )
                 dt, iters = run("reference-shaped, on-device matcher")
         else:
@@ -654,7 +662,13 @@ def main():
         )
         import jax as _jax
 
-        tkey = f"train-{_jax.default_backend()}-B32-Lv194-Dv2818"
+        # the key encodes the matcher-sync variant: a warm on-device-matcher
+        # cache must not silently satisfy a MESM_TRAIN_BASELINE_SYNC=1 run
+        # (and a measured host-sync number must not pose as the default)
+        sync_tag = (
+            "-hostsync" if os.environ.get("MESM_TRAIN_BASELINE_SYNC") == "1" else ""
+        )
+        tkey = f"train-{_jax.default_backend()}-B32-Lv194-Dv2818{sync_tag}"
         tbase = None
         if os.path.exists(cache_path):
             with open(cache_path) as f:

@@ -186,6 +186,19 @@ def stage_batch(batch, cast_bf16: bool):
 _warned_rowmajor_fallback = False
 
 
+def _warn_rowmajor_fallback_once(e):
+    global _warned_rowmajor_fallback
+    if not _warned_rowmajor_fallback:
+        _warned_rowmajor_fallback = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "row-major layout pin unsupported on this backend (%s); "
+            "falling back to default layout — the superbatch "
+            "video_feat_rows staging may pay a relayout copy", e
+        )
+
+
 def _put_rows_rowmajor(a):
     """device_put a 2-D array pinned to the row-major (0, 1) layout.
 
@@ -209,17 +222,17 @@ def _put_rows_rowmajor(a):
                 SingleDeviceSharding(jax.devices()[0]),
             )
             return jax.device_put(a, fmt)
+        except jax.errors.JaxRuntimeError as e:
+            # PJRT C-API clients without the layouts extension reject the
+            # explicit Format at RUNTIME (UNIMPLEMENTED) — that is an
+            # API-availability failure and falls back like the Python-layer
+            # ones below; real transfer failures (OOM etc.) re-raise.
+            if "UNIMPLEMENTED" not in str(e) and "layout" not in str(e).lower():
+                raise
+            _warn_rowmajor_fallback_once(e)
+            return jax.device_put(a)
         except (TypeError, NotImplementedError, ValueError) as e:
-            global _warned_rowmajor_fallback
-            if not _warned_rowmajor_fallback:
-                _warned_rowmajor_fallback = True
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "row-major layout pin unsupported on this backend (%s); "
-                    "falling back to default layout — the superbatch "
-                    "video_feat_rows staging may pay a relayout copy", e
-                )
+            _warn_rowmajor_fallback_once(e)
     return jax.device_put(a)
 
 
@@ -265,11 +278,17 @@ def stage_superbatch(batches, cast_bf16: bool):
             from mesm_tpu import kernels as _k
 
             if _k.FLAT_HOIST:
-                # FLAT_HOIST (measured negative, see parallel/step.py):
-                # the flat projection is gathered with a GLOBAL slot, so
-                # bake k*NG into batch k's slots
+                # FLAT_HOIST (measured negative, see parallel/step.py): the
+                # flat projection is gathered with a GLOBAL slot (k*NG +
+                # slot). Staged under a DISTINCT key so a step traced with
+                # the other hoist form fails loudly (KeyError) instead of
+                # gathering wrong rows — XLA clamps out-of-range gather
+                # indices silently, so a shared key + mismatched flag would
+                # corrupt predictions with no error.
                 NG = np.asarray(batches[0]["video_feat_g"]).shape[0]
                 a = a + (np.arange(len(batches), dtype=a.dtype) * NG)[:, None]
+                jb["video_slot_flat"] = jax.device_put(a)
+                continue
         jb[k] = jax.device_put(a)
     if "ss_video_feat_groups" in jb:
         slot = jb.pop("ss_group_slot")  # (K, B)

@@ -29,29 +29,34 @@ def sine_position_embedding(
     if normalize:
         eps = 1e-6
         x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+    return _interleave_half_freq(x_embed, num_pos_feats, temperature, dtype)
 
-    # Half-frequency formulation: the reference's dim_t (position_encoding.py
-    # :35-72) satisfies dim_t[2k] == dim_t[2k+1] == temperature^(2k/F), so
-    # channel 2k = sin(x/dim_t[2k]) and channel 2k+1 = cos(x/dim_t[2k]) need
-    # only F/2 distinct angles — BIT-IDENTICAL values to the even/odd-strided
-    # original, but with no strided slices: the strided
-    # stack([sin(pos[...,0::2]), cos(pos[...,1::2])]) form materialized a
-    # full-F f32 quotient and lowered to a pad+concat+relayout chain costing
-    # ~0.22 ms/batch OUTSIDE the eval scan at the flagship geometry
-    # (traces/r4_k32: fusion.985/986 + pad_maximum + copy.733/751 +
-    # mini-gather slices are all this op). Here sin/cos are computed on the
-    # contiguous (B, L, F/2) angle tensor, cast to the TARGET dtype first
-    # (the f32->bf16 cast is values-equal wherever it lands), and
-    # interleaved by one minor-axis stack+reshape.
+
+def _interleave_half_freq(x_embed, num_pos_feats, temperature, dtype):
+    """(...,) f32 positions -> (..., F) interleaved sin/cos embedding.
+
+    Half-frequency formulation: the reference's dim_t (position_encoding.py
+    :35-72) satisfies dim_t[2k] == dim_t[2k+1] == temperature^(2k/F), so
+    channel 2k = sin(x/dim_t[2k]) and channel 2k+1 = cos(x/dim_t[2k]) need
+    only F/2 distinct angles — BIT-IDENTICAL values to the even/odd-strided
+    original, but with no strided slices: the strided
+    stack([sin(pos[...,0::2]), cos(pos[...,1::2])]) form materialized a
+    full-F f32 quotient and lowered to a pad+concat+relayout chain costing
+    ~0.22 ms/batch OUTSIDE the eval scan at the flagship geometry
+    (traces/r4_k32: fusion.985/986 + pad_maximum + copy.733/751 +
+    mini-gather slices are all this op). sin/cos are computed on the
+    contiguous (..., F/2) angle tensor, cast to the TARGET dtype first (the
+    f32->bf16 cast is values-equal wherever it lands), and interleaved by
+    one minor-axis stack+reshape. ONE copy of this math — both the (B, L)
+    and the flat rows entry points feed it."""
     half = num_pos_feats // 2
     i = jnp.arange(half, dtype=jnp.float32)
     inv_freq = temperature ** (2.0 * i / num_pos_feats)
-    angle = x_embed[:, :, None] / inv_freq  # (B, L, F/2) f32
+    angle = x_embed[..., None] / inv_freq  # (..., F/2) f32
     pos = jnp.stack(
-        [jnp.sin(angle).astype(dtype), jnp.cos(angle).astype(dtype)], axis=3
+        [jnp.sin(angle).astype(dtype), jnp.cos(angle).astype(dtype)], axis=-1
     )
-    pos = pos.reshape(pos.shape[0], pos.shape[1], -1)
-    return pos.astype(dtype)
+    return pos.reshape(pos.shape[:-2] + (num_pos_feats,))
 
 
 def sine_position_embedding_rows(
@@ -74,14 +79,9 @@ def sine_position_embedding_rows(
     if normalize:
         eps = 1e-6
         x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
-    half = num_pos_feats // 2
-    i = jnp.arange(half, dtype=jnp.float32)
-    inv_freq = temperature ** (2.0 * i / num_pos_feats)
-    angle = x_embed.reshape(-1)[:, None] / inv_freq  # (G*L, F/2) f32
-    pos = jnp.stack(
-        [jnp.sin(angle).astype(dtype), jnp.cos(angle).astype(dtype)], axis=2
+    return _interleave_half_freq(
+        x_embed.reshape(-1), num_pos_feats, temperature, dtype
     )
-    return pos.reshape(angle.shape[0], -1)
 
 
 class SinePositionEmbedding(nn.Module):

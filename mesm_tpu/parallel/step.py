@@ -364,11 +364,20 @@ def make_eval_step(
                 stacked = dict(stacked)
                 del stacked["video_feat_rows"]
                 del stacked["video_mask_g"]  # only the hoist consumed it
+                # staged under a distinct key (stage_superbatch) so a
+                # flag-state mismatch between staging and tracing raises
+                # here instead of silently gathering wrong rows
+                stacked["video_slot"] = stacked.pop("video_slot_flat")
                 invariant = {
                     "video_proj_rows": proj,
                     "vid_pos_rows": pos.astype(proj.dtype),
                 }
                 return stacked, invariant
+            assert "video_slot_flat" not in stacked, (
+                "superbatch was staged with kernels.FLAT_HOIST on (global "
+                "slots) but this step was built with it off — re-stage or "
+                "rebuild with a consistent flag"
+            )
             proj, pos = model.apply(
                 {"params": p},
                 vfr,

@@ -164,7 +164,10 @@ def main() -> int:
             win_d = float("inf")
         sa = np.asarray(ref_sub[q]["pred_saliency_scores"], np.float64)
         sb = np.asarray(our_sub[q]["pred_saliency_scores"], np.float64)
-        sal_d = max(sal_d, float(np.abs(sa - sb).max()))
+        if sa.shape == sb.shape:
+            sal_d = max(sal_d, float(np.abs(sa - sb).max()))
+        else:  # count divergence is a parity break, not a crash
+            sal_d = float("inf")
     log(f"submission diffs: windows {win_d:.6f}, saliency {sal_d:.6f}")
 
     shared = sorted(set(ref_brief) & set(our_brief))
@@ -186,8 +189,12 @@ def main() -> int:
         "worst_abs_diff": round(worst, 4),
         "tolerance": 0.3,
         "submission_max_abs_diff": {
-            "pred_relevant_windows": round(win_d, 6),
-            "pred_saliency_scores": round(sal_d, 6),
+            "pred_relevant_windows": (
+                "shape-mismatch" if np.isinf(win_d) else round(win_d, 6)
+            ),
+            "pred_saliency_scores": (
+                "shape-mismatch" if np.isinf(sal_d) else round(sal_d, 6)
+            ),
         },
         "shared_keys": len(shared),
         "per_key": diffs,
