@@ -202,6 +202,14 @@ SHORTKEY_VARIANT = "segmm"
 # future hardware where gathers are cheaper relative to retiles.
 FLAT_HOIST: bool = False
 
+# Unroll factor for the coalesced eval scan (parallel/step.py multi_sb/multi).
+# unroll=N emits N consecutive scan bodies per loop iteration, letting XLA
+# software-pipeline HBM-bound fusions of iteration i against MXU-bound
+# matmuls of iteration i+1 (and halving loop bookkeeping). Read at trace
+# time; K must stay divisible by the factor (evaluate.py pads K anyway).
+# Probe with scripts/probe_unroll.py before changing the default.
+EVAL_SCAN_UNROLL: int = 1
+
 
 def use_fused_ln_dense(D: int) -> bool:
     """Dispatch for the fused LayerNorm->Dense input-projection kernel."""

@@ -408,6 +408,21 @@ def make_eval_step(
         stacked["vid_pos_g"] = pos.astype(proj.dtype).reshape((K, NG) + pos.shape[1:])
         return stacked, {}
 
+    def _scan_batches(body, stacked):
+        """lax.map over the leading K axis, with optional unroll
+        (kernels.EVAL_SCAN_UNROLL, read at trace time): unroll=N emits N
+        consecutive bodies per loop iteration so XLA can software-pipeline
+        them. Values are identical — same body, same order."""
+        from mesm_tpu import kernels as _k
+
+        unroll = max(1, int(getattr(_k, "EVAL_SCAN_UNROLL", 1)))
+        if unroll <= 1:
+            return jax.lax.map(body, stacked)
+        _, ys = jax.lax.scan(
+            lambda carry, b: (carry, body(b)), None, stacked, unroll=unroll
+        )
+        return ys
+
     if coalesce <= 1:
         @jax.jit
         def jitted(params, frozen_text, batch, rng):
@@ -422,7 +437,7 @@ def make_eval_step(
         def multi_sb(params, frozen_text, stacked, rng):
             p = _params(params)  # unravel once, outside the scan body
             stacked, invariant = _hoist_video_proj(p, stacked)
-            return jax.lax.map(
+            return _scan_batches(
                 lambda b: eval_step(p, frozen_text, {**b, **invariant}, rng),
                 stacked,
             )
@@ -455,7 +470,7 @@ def make_eval_step(
             p = _params(params)  # unravel once, outside the scan body
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
             stacked, invariant = _hoist_video_proj(p, stacked)
-            return jax.lax.map(
+            return _scan_batches(
                 lambda b: eval_step(p, frozen_text, {**b, **invariant}, rng),
                 stacked,
             )

@@ -400,3 +400,38 @@ def test_video_rows_staging_matches_group_form():
         np.asarray(proj_g), rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_allclose(np.asarray(pos_r), np.asarray(pos_g), atol=1e-6)
+
+
+@pytest.mark.parametrize("coalesce,unroll", [(4, 2), (3, 2)])
+def test_scan_unroll_matches_default(coalesce, unroll):
+    """kernels.EVAL_SCAN_UNROLL=N (parallel/step.py _scan_batches) must
+    match the default lax.map, including when K is not a multiple of N
+    (lax.scan unrolls the remainder iterations separately). Tolerance, not
+    bitwise: unrolling moves XLA fusion boundaries, which reassociates a
+    few float reductions (observed 3/240 elements at ~1e-7 on CPU)."""
+    from mesm_tpu import kernels
+    from mesm_tpu.data.pipeline import stage_superbatch
+
+    model = tiny_model()
+    batches = [device_batch(50 + i) for i in range(coalesce)]
+    params = init_params(model, batches[0])
+    host = [jax.device_get(b) for b in batches]
+    rng = jax.random.PRNGKey(7)
+
+    sb = make_eval_step(model, None, encode_text, with_loss=False,
+                        coalesce=coalesce, superbatch=True)
+    p_map, _ = sb(params, {}, stage_superbatch(host, cast_bf16=False), rng)
+
+    assert kernels.EVAL_SCAN_UNROLL == 1  # repo default of record
+    kernels.EVAL_SCAN_UNROLL = unroll
+    try:
+        sb2 = make_eval_step(model, None, encode_text, with_loss=False,
+                             coalesce=coalesce, superbatch=True)
+        p_unr, _ = sb2(params, {}, stage_superbatch(host, cast_bf16=False), rng)
+    finally:
+        kernels.EVAL_SCAN_UNROLL = 1
+    for key in p_map:
+        np.testing.assert_allclose(
+            np.asarray(p_unr[key]), np.asarray(p_map[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
