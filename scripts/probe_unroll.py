@@ -28,6 +28,8 @@ def main():
     args = ap.parse_args()
 
     import bench  # repo-root bench machinery (backend wait, model factory)
+
+    bench.wait_for_backend()  # ride out transient relay outages (BASELINE.md)
     import jax
     import jax.numpy as jnp
     import numpy as np
