@@ -206,7 +206,10 @@ FLAT_HOIST: bool = False
 # unroll=N emits N consecutive scan bodies per loop iteration, letting XLA
 # software-pipeline HBM-bound fusions of iteration i against MXU-bound
 # matmuls of iteration i+1 (and halving loop bookkeeping). Read at trace
-# time; K must stay divisible by the factor (evaluate.py pads K anyway).
+# time. K need NOT divide evenly by the factor (lax.scan unrolls the
+# remainder iterations separately — pinned by tests/test_coalesce.py::
+# test_scan_unroll_matches_default at K=3, unroll=2); divisibility only
+# affects how cleanly the software pipeline overlaps.
 # Probe with scripts/probe_unroll.py before changing the default.
 EVAL_SCAN_UNROLL: int = 1
 

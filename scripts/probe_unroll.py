@@ -4,8 +4,11 @@ kernels.EVAL_SCAN_UNROLL=N emits N consecutive scan bodies per loop
 iteration (parallel/step.py _scan_batches). Hypothesis: XLA software-
 pipelines the HBM-bound LN/residual fusions of iteration i against the
 MXU-bound matmuls of iteration i+1, shaving the last ~2% toward the 5x
-eval north star. Timing protocol mirrors bench.py's coalesced leg exactly
-(distinct staged superbatches per submission, fetch-verified walls).
+eval north star. Timing protocol follows bench.py's coalesced leg
+(distinct staged superbatches per submission; laziness cleared by a real
+device_get before timing; each timed round ends with block + a small fetch
+whose cost is checked against the blocked wall, per BASELINE.md's
+lazy-dispatch discipline).
 
 Run on the TPU host:  python scripts/probe_unroll.py [--factors 1 2 4]
 """
@@ -82,7 +85,10 @@ def main():
     rng0 = jax.random.PRNGKey(0)
     results = {}
     ref_scores = None
-    for unroll in args.factors:
+    # Factor 1 always runs first so the parity diff is genuinely vs unroll=1
+    # (running e.g. --factors 2 4 would otherwise silently baseline on 2).
+    factors = [1] + [f for f in dict.fromkeys(args.factors) if f != 1]
+    for unroll in factors:
         kernels.EVAL_SCAN_UNROLL = unroll
         step_k = make_eval_step(
             model, None, encode_passthrough, with_loss=False, coalesce=K,
@@ -106,7 +112,19 @@ def main():
             for i in range(args.iters):
                 r = step_k(flat_params, {}, super_i(rd * args.iters + i), rng0)
             jax.block_until_ready(r)
-            best = max(best, B * K * args.iters / (time.perf_counter() - t0))
+            wall = time.perf_counter() - t0
+            # Honesty check (BASELINE.md lazy-dispatch discipline): a small
+            # real fetch after block must be cheap; if it isn't, the block
+            # was dishonest and the fetch-inclusive wall is the real one.
+            tf = time.perf_counter()
+            float(np.asarray(jax.device_get(r[0]["scores"])).ravel()[0])
+            fetch = time.perf_counter() - tf
+            if fetch > 0.25 * wall:
+                print(f"[probe] WARNING: post-block fetch {fetch*1e3:.1f} ms "
+                      f"vs wall {wall*1e3:.1f} ms — using fetch-inclusive wall",
+                      flush=True)
+                wall += fetch
+            best = max(best, B * K * args.iters / wall)
         results[unroll] = best
         print(f"[probe] unroll={unroll}: {best:.1f} rows/s", flush=True)
     kernels.EVAL_SCAN_UNROLL = 1
