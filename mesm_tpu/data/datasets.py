@@ -218,6 +218,14 @@ class BaseDataset:
 
         return min(max(int(_math.ceil(dur / self.clip_len)), 1), self.max_video_l)
 
+    def exact_length(self, index: int) -> int:
+        """EXACT post-downsample clip count of an entry, from HDF5 shape
+        metadata only (no feature read): mean_pool_downsample caps at
+        max_video_l, so the collated length is min(raw rows, max_video_l).
+        evaluate.warm_eval_step uses this to predict each batch's padding
+        bucket without building the batch."""
+        return self.store.length(self.merged_data[index]["video_id"][0], self.max_video_l)
+
     def __getstate__(self):
         # process-pool loader workers receive the dataset by pickle
         # (forkserver context, data/pipeline.py); the thread lock can't make
@@ -501,6 +509,14 @@ class QVHighlightsDataset(BaseDataset):
 
     def get_video_feat(self, video_id: str) -> np.ndarray:
         return self.store.get(video_id, max_len=self.max_video_l)
+
+    def exact_length(self, index: int) -> int:
+        """Per-clip features: the batch pads to the LONGEST clip of the
+        entry, each read capped at max_video_l (get_video_feat)."""
+        return max(
+            self.store.length(v, self.max_video_l)
+            for v in self.merged_data[index]["vid"]
+        )
 
     def get_span_labels(self, windows: List, ctx_l: int):
         """Normalized (xx, cxw) spans, capped at max_windows with a shuffle

@@ -76,6 +76,14 @@ class FeatureStore:
             out = out / np.maximum(norm, 1e-12)
         return out
 
+    def length(self, video_id: str, max_len: Optional[int] = None) -> int:
+        """Feature row count from HDF5 shape METADATA only (no data read):
+        min over files of the dataset's leading dim (`get` truncates to the
+        shortest stream), capped at max_len. Lets callers predict padded
+        batch shapes without paying a feature read."""
+        n = min(self._handle(p)[video_id].shape[0] for p in self.feat_files)
+        return int(n if max_len is None else min(n, max_len))
+
     def keys(self) -> List[str]:
         return list(self._handle(self.feat_files[0]).keys())
 

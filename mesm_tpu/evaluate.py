@@ -69,16 +69,60 @@ def _batch_signature(jb):
     return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in jb.items()))
 
 
+def planned_bucket_batches(loader):
+    """Predict each planned batch's padding bucket WITHOUT building it.
+
+    The collate pads videos to the smallest `spec.video_buckets` entry that
+    fits the batch's longest ACTUAL feature length (collate.py _collate), and
+    that actual length is min(HDF5 rows, max_video_l) — available from shape
+    metadata alone (dataset.exact_length / FeatureStore.length, no data
+    read). Returns [(bucket_Lv, idx_batch), ...] sorted by bucket — one
+    entry per distinct bucket, carrying the first planned index-batch that
+    lands in it — or None when prediction isn't possible (loader without a
+    batcher/BatchSpec/exact_length, e.g. hand-rolled test iterables), in
+    which case warm_eval_step falls back to walking the whole loader.
+
+    Note: iterating the batcher advances its shuffle epoch exactly like the
+    timed pass's own iteration would, so warm+timed see the same epoch
+    parity as the previous walk-the-loader implementation. A shuffled
+    batcher could hit a slightly different bucket SET next epoch; a missed
+    bucket only costs a lazy compile at eval time, never correctness."""
+    batcher = getattr(loader, "batcher", None)
+    spec = getattr(getattr(loader, "collate", None), "spec", None)
+    ds = getattr(loader, "dataset", None)
+    if batcher is None or spec is None or not hasattr(ds, "exact_length"):
+        return None
+    lengths: Dict[int, int] = {}  # entries repeat across buckets' batches
+
+    def elen(i):
+        if i not in lengths:
+            lengths[i] = ds.exact_length(i)
+        return lengths[i]
+
+    first_by_bucket: Dict[int, list] = {}
+    for idx_batch in batcher:
+        vmax = max(1, min(max(elen(i) for i in idx_batch), spec.max_video_l))
+        if spec.video_buckets:
+            bucket = next(b for b in spec.video_buckets if b >= vmax)
+        else:
+            bucket = spec.max_video_l
+        if bucket not in first_by_bucket:
+            first_by_bucket[bucket] = list(idx_batch)
+    return sorted(first_by_bucket.items())
+
+
 def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
     """Pre-compile the eval step for every distinct batch shape CONCURRENTLY.
 
     Each length bucket is its own XLA specialization; compiled lazily they
     serialize (~1-10 min total through a remote-compile service). Compiles
-    overlap well in threads (measured ~2.3x for 3 concurrent), so this walks
-    the loader host-side (cheap — the whole 999-row synthetic epoch builds in
-    ~0.6 s; deriving bucket signatures without data would duplicate the
-    collate's shape logic), stages ONE batch per shape signature, and fires
-    all compilations at once. The warm executions' outputs are discarded.
+    overlap well in threads (measured ~2.3x for 3 concurrent), so this
+    derives the epoch's bucket set from the sampler plan + HDF5 shape
+    metadata (planned_bucket_batches — O(buckets) batch builds instead of
+    replaying the whole epoch's feature reads), stages ONE batch per shape
+    signature, and fires all compilations at once. The warm executions'
+    outputs are discarded. Loaders without a predictable plan fall back to
+    the full walk (still cheap on synthetic test epochs).
 
     Two side-effect guards: the dataset's per-item visit counts are restored
     afterwards so this extra pass does not shift rng-dependent items (contra
@@ -99,7 +143,8 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
     visits_before = dict(getattr(ds, "_visit_counts", {}) or {})
     host_sigs = set()
     staged = []
-    for batch, _meta in loader:
+
+    def keep(batch):
         sig = tuple(sorted((k, np.asarray(v).shape) for k, v in batch.items()))
         if sig not in host_sigs:
             host_sigs.add(sig)
@@ -109,6 +154,22 @@ def warm_eval_step(params, frozen, eval_step, loader, opt, rng):
             # staged device batches in-program would compile a different —
             # and then unused — program per shape.
             staged.append(dict(batch) if superbatch else stage_batch(batch, cast))
+
+    planned = planned_bucket_batches(loader)
+    if planned is not None:
+        if len(planned) > 1:
+            for bucket, idx_batch in planned:
+                batch, _meta = loader._build(idx_batch)
+                got = batch["video_mask"].shape[1]
+                if got != bucket:  # prediction drift: warm what we built
+                    logger.warning(
+                        f"predicted bucket {bucket} but collate padded to "
+                        f"{got}; eval may pay one lazy compile"
+                    )
+                keep(batch)
+    else:
+        for batch, _meta in loader:
+            keep(batch)
     if hasattr(ds, "_visit_counts"):
         ds._visit_counts = visits_before
     if len(staged) <= 1:

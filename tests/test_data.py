@@ -252,6 +252,52 @@ def test_loader_process_pool_matches_serial(charades_root):
     assert changed, "epoch 1 should redraw contra samples"
 
 
+def test_planned_bucket_batches_match_walk(charades_root):
+    """evaluate.planned_bucket_batches predicts the walked loader's bucket
+    set from HDF5 shape metadata alone — zero __getitem__ calls — and the
+    batches built from its planned index lists carry EXACTLY the signatures
+    the full walk produces (warm_eval_step's O(buckets) fast path)."""
+    from mesm_tpu.evaluate import planned_bucket_batches
+
+    ds = make_charades(charades_root)
+    # exact_length == the actual per-item feature length, for every entry
+    for i in range(len(ds)):
+        assert ds.exact_length(i) == ds[i]["video_feat"].shape[0]
+    ds._visit_counts = {}
+
+    spec = BatchSpec(
+        row_capacity=8, max_video_l=20, group_capacity=3,
+        video_buckets=(16, 20),
+    )
+    b = RowBudgetBatcher(ds, row_capacity=8, shuffle=False)
+    b.sort_by_length = True  # runner's eval batcher setting
+    loader = Loader(ds, b, make_collate(spec), num_workers=1)
+
+    planned = planned_bucket_batches(loader)  # consumes one batcher epoch
+    assert planned is not None
+    assert ds._visit_counts == {}, "prediction must not build items"
+
+    def sig(batch):
+        return tuple(sorted((k, np.asarray(v).shape) for k, v in batch.items()))
+
+    walked = {}  # bucket -> signature (same order as the planned epoch:
+    for batch, _meta in loader:  # shuffle=False + sort_by_length is stable)
+        walked.setdefault(batch["video_mask"].shape[1], sig(batch))
+    assert sorted(walked) == [bk for bk, _ in planned]
+    for bucket, idx_batch in planned:
+        built, _m = loader._build(idx_batch)
+        assert built["video_mask"].shape[1] == bucket
+        assert sig(built) == walked[bucket]
+
+
+def test_planned_bucket_batches_fallback_none():
+    """Hand-rolled loaders (no batcher/BatchSpec) return None: warm_eval_step
+    falls back to the full walk."""
+    from mesm_tpu.evaluate import planned_bucket_batches
+
+    assert planned_bucket_batches([({"x": np.zeros(3)}, {})]) is None
+
+
 # ---------------------------------------------------------------------------
 # CLIP BPE tokenizer with a tiny synthetic merge table
 # ---------------------------------------------------------------------------
@@ -371,3 +417,8 @@ def test_qvh_dataset_and_collate(qvh_root):
     assert batch["saliency_label"].shape == (6, 16)
     assert batch["ss_video_feat_groups"].shape == (2, 32, DV + 2)
     assert batch["ss_group_slot"][: meta["n_rows"]].max() == 1
+
+    # exact_length: max over the entry's clips of min(HDF5 rows, cap) —
+    # must equal the actual longest per-clip feature (warm-path predictor)
+    for i in range(len(ds)):
+        assert ds.exact_length(i) == max(f.shape[0] for f in ds[i]["video_feat"])
