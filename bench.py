@@ -18,6 +18,8 @@ Default mode prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
     batch 32, charades geometry.
   - tacos_eval_throughput_rows_per_sec: eval step at TACoS geometry
     (Lv=600, C3D features), where the Pallas kernel auto-enables.
+  - qvh_train/eval_rows_per_sec: QVHighlights geometry (Lv=75, multi-clip
+    LSAP matcher, saliency labels + triplet, group SS video).
 Results are also written to BENCH_EXTRA.json.
 """
 from __future__ import annotations
@@ -34,7 +36,8 @@ def log(msg):
 
 
 def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
-                         n_groups=None, dtype="float32", dropout=0.1):
+                         n_groups=None, dtype="float32", dropout=0.1,
+                         T=0, num_classes=1114):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +48,7 @@ def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
     cfg = MESMConfig(
         hidden_dim=hidden, v_feat_dim=Dv, t_feat_dim=Dt, nheads=heads,
         dim_feedforward=ffn, num_queries=10, max_words_l=Lw, max_video_l=Lv,
-        num_classes=1114, rec_fw=True, rec_ss=True, aux_loss=True,
+        num_classes=num_classes, rec_fw=True, rec_ss=True, aux_loss=True,
         dropout=dropout,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
@@ -60,7 +63,8 @@ def make_model_and_batch(B, Lv, Dv, Lw, Dt, hidden=256, heads=8, ffn=1024,
     # video) so the deduplicated-video path is benched honestly
     if n_groups is None:
         n_groups = max(2, int(B / 2.4))
-    batch = make_batch(rng, B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=3, n_groups=n_groups)
+    batch = make_batch(rng, B=B, Lv=Lv, Dv=Dv, Lw=Lw, Dt=Dt, G=3,
+                       n_groups=n_groups, T=T)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     neg = sample_out_of_group(jax.random.PRNGKey(0), jb["group_id"])
     return cfg, model, jb, neg
@@ -555,6 +559,125 @@ def train_baseline_bench(B=32):
     return rows, dt / iters * 1e3
 
 
+def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32):
+    """QVHighlights geometry (reference config/QVHighlights/C+SF_C.json:
+    clip_len 2, max_video_l 75, 2816+2 TEF features, 32 words, queries 10;
+    num_classes = vocab 5000 + 3 CLIP specials): the criterion/matcher path
+    the charades and tacos legs never touch — multi-clip LSAP matching
+    (reference model/matcher.py:108-111), saliency-LABEL rank loss + triplet
+    (reference model/criterion.py:139-221), multi-window targets, and the
+    per-row concatenated group video for SS-MESM
+    (reference model/model.py:184-219 via collate_qvh).
+
+    Train leg: fused fp32 step at B rows. Eval leg: the shipped coalesced
+    superbatch step (bf16, per-row video — multi-clip excludes the dedup
+    path, runner.make_batch_spec). Returns (train_rows, train_ms, eval_rows).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mesm_tpu.losses import CriterionConfig
+    from mesm_tpu.parallel.step import (
+        TrainState, build_optimizer, make_eval_step, make_train_step,
+    )
+
+    cfg, model, jb, neg = make_model_and_batch(
+        B, Lv, Dv, Lw, Dt, dtype="float32", T=5, num_classes=5003)
+    rngh = np.random.default_rng(1)
+    lens = rngh.integers(Lv + 1, Lss + 1, B)
+    jb["ss_video_feat"] = jnp.asarray(
+        rngh.normal(size=(B, Lss, Dv)).astype(np.float32))
+    jb["ss_video_mask"] = jnp.asarray(np.arange(Lss)[None, :] < lens[:, None])
+    jb["words_label"] = jb["words_label"] % cfg.num_classes
+    jb["row_mask"] = jnp.ones((B,), bool)
+    ccfg = CriterionConfig(
+        span_coef=10.0, giou_coef=1.0, label_coef=4.0, saliency_coef=1.0,
+        recfw_coef=0.5, recss_coef=0.1, rank_coef=12.0,
+        multi_clip=True, use_triplet=True, saliency_margin=0.2,
+    )
+
+    def encode_text(frozen, b):
+        return b["words_feat"], b["words_mask"].astype(bool), b["sentence_feat"]
+
+    args = (jb["video_feat"], jb["video_mask"], jb["words_feat"],
+            jb["words_mask"], jb["sentence_feat"], neg)
+    kw = dict(
+        clip_mask=jb["clip_mask"], words_weight=jb["words_weight"],
+        unknown_mask=jb["unknown_mask"], ss_sent_idx=jb["ss_sent_idx"],
+        ss_sent_mask=jb["ss_sent_mask"], ss_own_pos=jb["ss_own_pos"],
+        ss_video_feat=jb["ss_video_feat"], ss_video_mask=jb["ss_video_mask"],
+    )
+    log("[qvh] shape-only param init")
+    params = shape_only_params(model, args, kw, is_training=True)
+    tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+    train_step = make_train_step(model, ccfg, encode_text, tx)
+    rng = jax.random.PRNGKey(7)
+    log("[qvh] compiling + measuring fused multi-clip train step")
+    for _ in range(3):
+        state, metrics = train_step(state, {}, jb, rng)
+    float(metrics["loss_overall"])  # real fetch: forces the deferred compile
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, {}, jb, rng)
+    jax.block_until_ready(metrics["loss_overall"])
+    t1 = time.perf_counter()
+    float(metrics["loss_overall"])  # fetch-verify the block (see measure())
+    t2 = time.perf_counter()
+    dt = (t2 - t0) if (t2 - t1) > 0.25 * (t1 - t0) else (t1 - t0)
+    train_rows, train_ms = B * iters / dt, dt / iters * 1e3
+    log(f"[qvh] train {train_ms:.1f} ms/step = {train_rows:.1f} rows/s")
+
+    # eval leg: shipped coalesced superbatch step, bf16, per-row video
+    from jax.flatten_util import ravel_pytree
+
+    from mesm_tpu.data.pipeline import stage_superbatch
+
+    flat_params, params_unravel = ravel_pytree(params)
+    step_k = make_eval_step(
+        model, None, encode_text, with_loss=False, coalesce=K,
+        params_unravel=params_unravel, superbatch=True,
+    )
+    jb_eval = {
+        k: v for k, v in jb.items()
+        if k not in ("video_feat_g", "video_mask_g", "video_slot")
+    }
+    host_b = {k: np.asarray(v) for k, v in jb_eval.items()}
+    base_super = stage_superbatch([host_b] * K, cast_bf16=True)
+    sf0 = base_super["sentence_feat"]
+    iters = 12
+    sf_variants = [
+        jax.device_put(sf0 + jnp.asarray((i + 1) * 1e-4, sf0.dtype))
+        for i in range(2 * iters)
+    ]
+
+    def super_i(i):
+        s = dict(base_super)
+        s["sentence_feat"] = sf_variants[i % (2 * iters)]
+        return s
+
+    log(f"[qvh] compiling + measuring coalesced eval x{K}")
+    rng0 = jax.random.PRNGKey(0)
+    r = step_k(flat_params, {}, base_super, rng0)
+    jax.device_get(r[0]["scores"])  # force deferred compile+exec
+    eval_rows = 0.0
+    for rd in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            r = step_k(flat_params, {}, super_i(rd * iters + i), rng0)
+        jax.block_until_ready(r)
+        t1 = time.perf_counter()
+        jax.device_get(r[0]["scores"])
+        t2 = time.perf_counter()
+        wall = (t2 - t0) if (t2 - t1) > 0.25 * (t1 - t0) else (t1 - t0)
+        eval_rows = max(eval_rows, B * K * iters / wall)
+    log(f"[qvh] coalesced eval x{K}: {eval_rows:.1f} rows/s")
+    return train_rows, train_ms, eval_rows
+
+
 def wait_for_backend(max_wait_s: float = 10800.0) -> None:
     """Block until the TPU backend answers a trivial op, probing in
     SUBPROCESSES so a hung/unavailable relay can't wedge this process.
@@ -624,6 +747,14 @@ def main():
         print(json.dumps({
             "metric": "tacos_eval_throughput_rows_per_sec",
             "value": round(tacos, 2), "unit": "rows/s",
+        }))
+        qvh_train, qvh_ms, qvh_eval = qvh_bench(B=32)
+        results["qvh_train_rows_per_sec"] = round(qvh_train, 2)
+        results["qvh_train_ms_per_step"] = round(qvh_ms, 2)
+        results["qvh_eval_rows_per_sec"] = round(qvh_eval, 2)
+        print(json.dumps({
+            "metric": "qvh_eval_throughput_rows_per_sec",
+            "value": round(qvh_eval, 2), "unit": "rows/s",
         }))
         train_rows, ms = train_bench(B=32)
         results["train_rows_per_sec"] = round(train_rows, 2)

@@ -210,7 +210,14 @@ FLAT_HOIST: bool = False
 # remainder iterations separately — pinned by tests/test_coalesce.py::
 # test_scan_unroll_matches_default at K=3, unroll=2); divisibility only
 # affects how cleanly the software pipeline overlaps.
-# Probe with scripts/probe_unroll.py before changing the default.
+#
+# MEASURED NEGATIVE on v5e (scripts/probe_unroll.py --factors 1 2 4,
+# 2026-08-19, K=32 flagship geometry, outputs bit-identical across factors):
+# unroll=1 34,210 rows/s > unroll=2 33,572 (-1.9%) > unroll=4 32,524
+# (-4.9%), monotonic. The pipelining hypothesis fails here: the scan body is
+# already a deep op pipeline XLA overlaps internally, and unrolling only
+# grows program size. Default stays 1; kept in-tree + parity-tested for
+# geometries with thinner bodies.
 EVAL_SCAN_UNROLL: int = 1
 
 

@@ -74,8 +74,38 @@ def main():
         import eval as ref_eval
 
         ref_eval.inference()
+    elif mode == "init":
+        # Dump the reference model's SEEDED INITIALIZATION as a full torch
+        # checkpoint (text encoder included: reference train.py:120 resumes
+        # with a strict load_state_dict, so every key must be present;
+        # mesm_tpu's converter ignores frozen text_encoder.* keys —
+        # convert.py torch_state_dict_to_params `allowed` list). Used by
+        # scripts/ref_train_parity.py to start BOTH training pipelines from
+        # identical weights.  Usage: init --config_file CFG --out PATH
+        i = sys.argv.index("--out")
+        out = os.path.abspath(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+
+        import torch
+        import train as ref_train
+        from runner import build_model, build_vocab, build_vocab_from_pkl
+        from utils.config import BaseOptions
+
+        opt = BaseOptions().parse()
+        ref_train.set_seed(opt.seed)
+        if opt.tokenizer_type == "GloVeSimple":
+            vocab = build_vocab(opt)
+        elif opt.tokenizer_type == "GloVeNLTK":
+            vocab = (
+                build_vocab_from_pkl(opt) if opt.load_vocab_pkl else build_vocab(opt)
+            )
+        else:
+            vocab = None
+        model = build_model(opt, vocab)
+        torch.save({"model": model.state_dict(), "epoch": -1, "opt": opt}, out)
+        print(f"wrote {out}")
     else:
-        raise SystemExit(f"unknown mode {mode!r} (want train|eval)")
+        raise SystemExit(f"unknown mode {mode!r} (want train|eval|init)")
 
 
 if __name__ == "__main__":

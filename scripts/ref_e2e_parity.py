@@ -1,22 +1,33 @@
-"""End-to-end reference-vs-rebuild parity on a shared synthetic dataset.
+"""End-to-end reference-vs-rebuild parity on shared synthetic datasets.
 
 The strongest parity statement available without the released datasets
-(they are not downloadable in this container): run the ACTUAL reference
-pipeline end-to-end — its own `train.py` (a few CPU epochs) and its own
-`eval.py` (reference /root/reference/train.py:99-229, eval.py:488-537) —
-on a generated on-disk dataset root, then evaluate the SAME torch
-checkpoint with mesm_tpu's `evaluate.py` (byte-sniffed torch load +
-convert.py) on the SAME data, and diff every shared brief-metric key.
+(they are not downloadable in this container): for EACH config family —
+charades (CLIP-style single-window), qvhighlights (multi-clip LSAP,
+3-annotator saliency, multi-window metrics), tacos (fractional clip_len -1,
+max_gather_size chunking, TwoMLP share_MLP=False) — run the ACTUAL
+reference pipeline end-to-end — its own `train.py` (a few CPU epochs) and
+its own `eval.py` (reference /root/reference/train.py:99-229,
+eval.py:488-537) — on a generated on-disk dataset root, then evaluate the
+SAME torch checkpoint with mesm_tpu's `evaluate.py` (byte-sniffed torch
+load + convert.py) on the SAME data, and diff every shared brief-metric
+key.
 
 Both pipelines are deterministic given the checkpoint, the annotations,
 and the features, so the target is 0.0 on every key (acceptance gate:
 within 0.3, the north-star tolerance). Exercises the full L7->L1 stack on
 BOTH sides: config parse, vocab/tokenizer, annotation parsing, HDF5
 reading, collate, model forward, span decode, post-processing, metrics.
+Family-specific reference surfaces covered: multi-clip matching
+(/root/reference/model/matcher.py:108-111), collate_qvh + saliency labels
+(/root/reference/dataset/qvhighlights.py:67-199,214-284), multi-window
+R1/mAP (/root/reference/eval.py:419-430), fractional indexing
+(/root/reference/dataset/base.py:174-189), TACoS IoU thresholds + the
+superlong length range (/root/reference/eval.py:233-262).
 
-Writes REF_E2E_PARITY.json at the repo root. Run:  (CPU, ~4 min)
+Writes REF_E2E_PARITY.json at the repo root. Run:  (CPU, ~10-15 min)
 
     python scripts/ref_e2e_parity.py [--workdir DIR] [--epochs N]
+                                     [--families charades qvhighlights tacos]
 """
 from __future__ import annotations
 
@@ -56,35 +67,39 @@ def find_one(pattern: str) -> str:
     return hits[-1]
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/mesm_ref_e2e")
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--n-videos", type=int, default=8)
-    args = ap.parse_args()
+# family -> (root maker module:function, best-ckpt split)
+FAMILIES = {
+    "charades": ("synth_root", "make_charades_root", "test"),
+    "qvhighlights": ("test_e2e_qvh", "make_qvh_root", "val"),
+    "tacos": ("test_e2e_tacos", "make_tacos_root", "test"),
+}
 
+
+def run_family(family: str, workdir: str, epochs: int, n_videos: int) -> dict:
     t0 = time.time()
-    root = args.workdir
+    root = os.path.join(workdir, family)
     os.makedirs(root, exist_ok=True)
+    mod_name, fn_name, best_split = FAMILIES[family]
+    import importlib
 
-    from synth_root import make_charades_root
-
-    cfg_path = make_charades_root(root, n_videos=args.n_videos)
+    maker = getattr(importlib.import_module(mod_name), fn_name)
+    cfg_path = (
+        maker(root, n_videos=n_videos) if family == "charades" else maker(root)
+    )
     cfg = json.load(open(cfg_path))
-    cfg["n_epoch"] = args.epochs
+    cfg["n_epoch"] = epochs
     cfg["device"] = "cpu"
     cfg["num_workers"] = 0  # 1-core host; in-process loading on both sides
     cfg["result_root"] = os.path.join(root, "ref_results")
     json.dump(cfg, open(cfg_path, "w"), indent=2)
 
     # ---- 1. reference train ------------------------------------------------
-    log(f"reference train.py: {args.epochs} epochs on {args.n_videos} videos")
+    log(f"[{family}] reference train.py: {epochs} epochs")
     run_reference("train", ["--config_file", cfg_path])
-    ref_run_dir = find_one(os.path.join(cfg["result_root"], "charades-*"))
-    assert os.path.exists(os.path.join(ref_run_dir, "model_test_best.ckpt")), (
-        os.listdir(ref_run_dir)
-    )
-    log(f"reference run dir: {ref_run_dir}")
+    ref_run_dir = find_one(os.path.join(cfg["result_root"], f"{family}-*"))
+    ckpt = os.path.join(ref_run_dir, f"model_{best_split}_best.ckpt")
+    assert os.path.exists(ckpt), os.listdir(ref_run_dir)
+    log(f"[{family}] reference run dir: {ref_run_dir}")
 
     # ---- 2. reference eval on its own best checkpoint ----------------------
     eval_cfg = {
@@ -109,7 +124,7 @@ def main() -> int:
         os.path.join(root, "ref_inference", "*", "*metrics.json")
     )
     ref_brief = json.load(open(ref_metrics_path))["brief"]
-    log(f"reference brief: {json.dumps(ref_brief, sort_keys=True)}")
+    log(f"[{family}] reference brief: {json.dumps(ref_brief, sort_keys=True)}")
 
     # ---- 3. mesm_tpu eval on the SAME torch checkpoint ---------------------
     # TestOptions reloads the REFERENCE run's opt.json (same whitelist
@@ -136,7 +151,7 @@ def main() -> int:
     json.dump(ours_cfg, open(ours_cfg_path, "w"), indent=2)
     metrics, _ = inference(["--config_file", ours_cfg_path])
     our_brief = metrics["brief"]
-    log(f"mesm_tpu brief: {json.dumps(our_brief, sort_keys=True)}")
+    log(f"[{family}] mesm_tpu brief: {json.dumps(our_brief, sort_keys=True)}")
 
     # ---- 4. diff ------------------------------------------------------------
     # submission-level: per-query windows + saliency, the rawest artifact
@@ -168,7 +183,7 @@ def main() -> int:
             sal_d = max(sal_d, float(np.abs(sa - sb).max()))
         else:  # count divergence is a parity break, not a crash
             sal_d = float("inf")
-    log(f"submission diffs: windows {win_d:.6f}, saliency {sal_d:.6f}")
+    log(f"[{family}] submission diffs: windows {win_d:.6f}, saliency {sal_d:.6f}")
 
     shared = sorted(set(ref_brief) & set(our_brief))
     assert shared, (sorted(ref_brief), sorted(our_brief))
@@ -184,10 +199,9 @@ def main() -> int:
     only_ref = sorted(set(ref_brief) - set(our_brief))
     only_tpu = sorted(set(our_brief) - set(ref_brief))
 
-    out = {
-        "ok": worst <= 0.3,
+    return {
+        "ok": worst <= 0.3 and not np.isinf(win_d) and not np.isinf(sal_d),
         "worst_abs_diff": round(worst, 4),
-        "tolerance": 0.3,
         "submission_max_abs_diff": {
             "pred_relevant_windows": (
                 "shape-mismatch" if np.isinf(win_d) else round(win_d, 6)
@@ -200,11 +214,39 @@ def main() -> int:
         "per_key": diffs,
         "only_in_reference": only_ref,
         "only_in_tpu": only_tpu,
+        "checkpoint": ckpt,
+        "train": f"reference train.py, {epochs} epochs, cpu, seed {cfg['seed']}",
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/mesm_ref_e2e")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--n-videos", type=int, default=8)
+    ap.add_argument(
+        "--families", nargs="+", default=list(FAMILIES),
+        choices=list(FAMILIES),
+    )
+    args = ap.parse_args()
+
+    t0 = time.time()
+    families = {}
+    for family in args.families:
+        families[family] = run_family(
+            family, args.workdir, args.epochs, args.n_videos
+        )
+
+    out = {
+        "ok": all(f["ok"] for f in families.values()),
+        "tolerance": 0.3,
+        "worst_abs_diff": max(f["worst_abs_diff"] for f in families.values()),
+        "families": families,
         "protocol": {
-            "dataset": f"synthetic charades root, {args.n_videos} videos",
-            "train": f"reference train.py, {args.epochs} epochs, cpu, seed "
-                     f"{cfg['seed']}",
-            "checkpoint": os.path.join(ref_run_dir, "model_test_best.ckpt"),
+            "dataset": "synthetic on-disk roots shared by both pipelines "
+                       "(tests/synth_root.py, tests/test_e2e_qvh.py, "
+                       "tests/test_e2e_tacos.py makers)",
             "reference_eval": "reference eval.py (TestOptions, mp metrics)",
             "tpu_eval": "mesm_tpu.evaluate on the converted torch ckpt",
             "pos_tagger": "both sides pinned to the closed-class heuristic "
@@ -215,8 +257,9 @@ def main() -> int:
     with open(os.path.join(REPO, "REF_E2E_PARITY.json"), "w") as f:
         json.dump(out, f, indent=1)
     log(
-        f"wrote REF_E2E_PARITY.json: ok={out['ok']} worst={worst:.4f} over "
-        f"{len(shared)} keys ({out['wall_s']}s)"
+        f"wrote REF_E2E_PARITY.json: ok={out['ok']} "
+        f"worst={out['worst_abs_diff']:.4f} across "
+        f"{list(families)} ({out['wall_s']}s)"
     )
     return 0 if out["ok"] else 1
 
