@@ -559,7 +559,8 @@ def train_baseline_bench(B=32):
     return rows, dt / iters * 1e3
 
 
-def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32):
+def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32,
+              hidden=256, heads=8, ffn=1024, num_classes=5003):
     """QVHighlights geometry (reference config/QVHighlights/C+SF_C.json:
     clip_len 2, max_video_l 75, 2816+2 TEF features, 32 words, queries 10;
     num_classes = vocab 5000 + 3 CLIP specials): the criterion/matcher path
@@ -582,7 +583,8 @@ def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32):
     )
 
     cfg, model, jb, neg = make_model_and_batch(
-        B, Lv, Dv, Lw, Dt, dtype="float32", T=5, num_classes=5003)
+        B, Lv, Dv, Lw, Dt, hidden=hidden, heads=heads, ffn=ffn,
+        dtype="float32", T=5, num_classes=num_classes)
     rngh = np.random.default_rng(1)
     lens = rngh.integers(Lv + 1, Lss + 1, B)
     jb["ss_video_feat"] = jnp.asarray(
@@ -609,6 +611,11 @@ def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32):
     )
     log("[qvh] shape-only param init")
     params = shape_only_params(model, args, kw, is_training=True)
+    # ravel for the eval leg BEFORE training: the fused train step DONATES
+    # its state (donate_argnums), deleting the original param buffers
+    from jax.flatten_util import ravel_pytree
+
+    flat_params, params_unravel = ravel_pytree(params)
     tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
@@ -632,11 +639,8 @@ def qvh_bench(B=32, Lv=75, Dv=2818, Lw=32, Dt=512, Lss=150, K=32):
     log(f"[qvh] train {train_ms:.1f} ms/step = {train_rows:.1f} rows/s")
 
     # eval leg: shipped coalesced superbatch step, bf16, per-row video
-    from jax.flatten_util import ravel_pytree
-
     from mesm_tpu.data.pipeline import stage_superbatch
 
-    flat_params, params_unravel = ravel_pytree(params)
     step_k = make_eval_step(
         model, None, encode_text, with_loss=False, coalesce=K,
         params_unravel=params_unravel, superbatch=True,
