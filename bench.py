@@ -268,12 +268,16 @@ def eval_bench(B, Lv, Dv, Lw, Dt, label, with_baseline=False, dtype="bfloat16"):
     base_super = stage_superbatch([host_b] * K, cast_bf16=(dtype == "bfloat16"))
     sf0 = base_super["sentence_feat"]
     # iters x 2 rounds of DISTINCT inputs: every timed submission must be
-    # unique (memoization discipline above). iters=12, up from 4: with only
-    # 4 submit-ahead dispatches per round, the pipeline ramp (first-dispatch
-    # relay RTT before the device has queued work) was ~11% of the timed
-    # wall — steady-state throughput needs the ramp amortized over more
-    # dispatches (round-4 measurement; 12 dispatches ~ 1.4 s device time).
-    iters = 12
+    # unique (memoization discipline above). iters=48, up from 12 (and from
+    # 4 in round 3): with few submit-ahead dispatches per round, the pipeline
+    # ramp (first-dispatch relay RTT before the device has queued work)
+    # dominates the timed wall. scripts/probe_ramp.py measured the window
+    # curve on-chip (one executable, interleaved rounds): 6 dispatches
+    # 33,599 rows/s < 12: 34,284 < 24: 34,605 < 48: 34,768 — steady state
+    # needs the window long enough that the one-time ramp is noise. 48
+    # dispatches ~ 5.4 s device time per round; the 96 staged sentence_feat
+    # variants cost < 1 GB HBM at the flagship geometry.
+    iters = 48
     n_variants = 2 * iters
     sf_variants = [
         jax.device_put(sf0 + jnp.asarray((i + 1) * 1e-4, sf0.dtype))

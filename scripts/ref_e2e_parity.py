@@ -98,7 +98,20 @@ def run_family(family: str, workdir: str, epochs: int, n_videos: int) -> dict:
     run_reference("train", ["--config_file", cfg_path])
     ref_run_dir = find_one(os.path.join(cfg["result_root"], f"{family}-*"))
     ckpt = os.path.join(ref_run_dir, f"model_{best_split}_best.ckpt")
-    assert os.path.exists(ckpt), os.listdir(ref_run_dir)
+    if not os.path.exists(ckpt):
+        # The reference writes the best ckpt only when the stop score
+        # STRICTLY improves over its 0.0 init (train.py:138,181) — an
+        # undertrained synthetic run can sit at mAP 0.0 throughout and
+        # never produce one. Both eval sides resolve the best name, so
+        # alias latest -> best: the parity statement only needs the SAME
+        # checkpoint on both sides, not a meaningful "best".
+        latest = os.path.join(ref_run_dir, "model_latest.ckpt")
+        assert os.path.exists(latest), os.listdir(ref_run_dir)
+        log(f"[{family}] no {best_split}_best ckpt (stop score never "
+            "improved on the synth set); aliasing model_latest.ckpt")
+        import shutil
+
+        shutil.copyfile(latest, ckpt)
     log(f"[{family}] reference run dir: {ref_run_dir}")
 
     # ---- 2. reference eval on its own best checkpoint ----------------------

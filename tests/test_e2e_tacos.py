@@ -26,19 +26,28 @@ def make_tacos_root(root: str, seed: int = 0):
     feat_path = os.path.join(root, "feat.hdf5")
     obj = {"train": {}, "test": {}}
     with h5py.File(feat_path, "w") as f:
-        for i in range(6):
+        for i in range(8):
             vid = f"s13-d{i:02d}"
             L = int(rng.integers(30, 60))
             f.create_dataset(vid, data=rng.normal(size=(L, DV)).astype(np.float32))
             fps = 2.0
             n_frames = L * 10
             stamps, sentences = [], []
-            for j in range(int(rng.integers(3, 7))):  # several sentences per video
+            split = "train" if i < 4 else "test"
+            # Test videos get exactly max_gather_size(=2) sentences, i.e. ONE
+            # chunk-row per video: the reference's val loader is a plain
+            # shuffled DataLoader (runner.py:103-107), and a val batch whose
+            # rows all come from one video crashes its sample_outclass_neg
+            # (utils/data_utils.py:122, empty out-of-group candidate set).
+            # One row per video makes every eval batch multi-group by
+            # construction. Train keeps 3-6 sentences/video so the gather
+            # chunking + SplitGatherBatchSampler path stays exercised.
+            n_sent = 2 if split == "test" else int(rng.integers(3, 7))
+            for j in range(n_sent):
                 st = int(rng.integers(0, n_frames - 20))
                 ed = int(st + rng.integers(10, n_frames - st))
                 stamps.append([st, ed])
                 sentences.append(sents[(i + j) % len(sents)])
-            split = "train" if i < 4 else "test"
             obj[split][vid] = {
                 "num_frames": n_frames, "fps": fps,
                 "timestamps": stamps, "sentences": sentences,
