@@ -152,6 +152,16 @@ class BaseOptions:
                        help="data-parallel devices; 0 = all visible")
         p.add_argument("--pallas_attention", type=str, default="auto",
                        choices=["auto", "on", "off"])
+        p.add_argument("--rng_impl", type=str, default="rbg",
+                       choices=["rbg", "threefry"],
+                       help="PRNG for the train step's dropout/mask/neg "
+                            "sampling. 'rbg' lowers to the TPU-native "
+                            "RngBitGenerator: measured 26.8 -> 15.4 ms/step "
+                            "fp32 @ B=32 (threefry mask generation+backward "
+                            "recompute was ~46%% of the fused step; "
+                            "scripts/probe_train_rng.py). Both are "
+                            "deterministic per seed; 'threefry' keeps "
+                            "JAX's default counter-based streams")
         p.add_argument("--group_capacity", type=int, default=0,
                        help="SS-MESM group gather capacity; 0 = auto")
         p.add_argument("--cache_text", type=str, default="on", choices=["on", "off"],

@@ -287,7 +287,14 @@ def _train_body(opt):
     except Exception as e:  # tensorboard optional
         logger.warning(f"tensorboard unavailable: {e}")
 
-    rng = jax.random.PRNGKey(opt.seed)
+    # 'rbg' = XLA RngBitGenerator keys: the fused step's dropout/MLM-mask
+    # randomness at ~8% of the threefry cost (BASELINE.md round-5 train
+    # ledger; threefry mask recompute in the backward pass was ~46% of the
+    # whole step). Deterministic per seed either way.
+    if getattr(opt, "rng_impl", "rbg") == "rbg":
+        rng = jax.random.key(opt.seed, impl="rbg")
+    else:
+        rng = jax.random.PRNGKey(opt.seed)
     prev_best = {k: 0.0 for k in val_loaders}
     es_cnt = 0
     stop = False

@@ -76,3 +76,20 @@ def test_testoptions_reload_with_whitelist(tmp_path):
     # resume resolves to the split best checkpoint (charades -> test)
     assert opt.resume.endswith("model_test_best.ckpt")
     assert opt.v_feat_dim == 102  # re-bumped from the stored pre-bump value
+
+
+def test_rng_impl_flag(tmp_path):
+    """--rng_impl defaults to the TPU-native 'rbg' PRNG (measured 1.74x
+    train-step win, BASELINE.md round 5) and both impls produce a key the
+    train step's fold_in/split machinery accepts."""
+    import jax
+
+    cfg_path = str(tmp_path / "c.json")
+    _write(cfg_path, _base_cfg(str(tmp_path)))
+    opt = BaseOptions().parse(["--config_file", cfg_path])
+    assert opt.rng_impl == "rbg"
+    opt2 = BaseOptions().parse(["--config_file", cfg_path, "--rng_impl", "threefry"])
+    assert opt2.rng_impl == "threefry"
+    for impl_key in (jax.random.key(0, impl="rbg"), jax.random.PRNGKey(0)):
+        k = jax.random.fold_in(impl_key, 3)
+        jax.random.split(k, 3)  # must not raise
