@@ -19,6 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: most of the full-tier wall time is CPU
+# XLA compiles of the fused train/eval steps (minutes each), re-paid on
+# every pytest invocation. Cache them on disk so re-runs only pay execution.
+# Set via env (not jax.config) so subprocess-spawning tests (multihost
+# workers, CLI smoke tests) inherit it. Keyed by jaxlib version + program,
+# so stale entries can't serve wrong executables; the dir is gitignored.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache_dir))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
