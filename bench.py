@@ -427,7 +427,7 @@ def train_bench(B=32, geometry="charades", dropout=0.1, label="train",
     return rows, dt / iters * 1e3
 
 
-def train_baseline_bench(B=32):
+def train_baseline_bench(B=32, host_sync=False):
     """Faithful-port TRAIN baseline: the reference's train-step semantics
     expressed in XLA on the same chip — fp32, XLA attention (kernels off),
     and the reference's PER-STEP DEVICE->HOST MATCHER SYNC reproduced
@@ -500,10 +500,6 @@ def train_baseline_bench(B=32):
     log("[train-baseline] shape-only param init")
     params = shape_only_params(model, args, kw, is_training=True)
     tx = build_optimizer(lr=2e-4, weight_decay=1e-4, grad_clip=0.1)
-    # snapshot BEFORE any train_step call: the step donates its state
-    # (donate_argnums), so a failed host-sync attempt leaves the original
-    # params buffers deleted — the fallback must rebuild from a copy
-    pristine = jax.tree.map(jnp.copy, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
     )
@@ -533,34 +529,19 @@ def train_baseline_bench(B=32):
 
     # This environment's remote-compile relay cannot run programs containing
     # io_callback: the host-sync matcher program died 3x on 2026-08-19
-    # (UNAVAILABLE at compile twice, ABORTED at the first fetch once), each
-    # attempt blocking 20-30 minutes. Default here is therefore the
-    # reference-shaped fp32 step (on-device matcher, kernels off, per-step
-    # loss fetch like the reference's float(loss) meters, train.py:75-77).
-    # The omitted per-step host matcher sync makes THIS BASELINE FASTER than
-    # the reference's semantics, so the published train vs_baseline is an
-    # UNDERSTATEMENT. On hardware with a local host, set
-    # MESM_TRAIN_BASELINE_SYNC=1 to measure the faithful io_callback sync.
-    import os as _os
-
+    # (UNAVAILABLE at compile twice, ABORTED at the first fetch once) and a
+    # 4th time on 2026-08-20 (ABORTED — and the abort killed the ENTIRE TPU
+    # client, so even an in-process fallback could not run; host-sync
+    # attempts are therefore isolated in a subprocess, see main()). Default
+    # here is the reference-shaped fp32 step (on-device matcher, kernels
+    # off, per-step loss fetch like the reference's float(loss) meters,
+    # train.py:75-77). The omitted per-step host matcher sync makes THIS
+    # BASELINE FASTER than the reference's semantics, so the published
+    # train vs_baseline is an UNDERSTATEMENT. On hardware with a local
+    # host, MESM_TRAIN_BASELINE_SYNC=1 measures the faithful sync.
     try:
-        if _os.environ.get("MESM_TRAIN_BASELINE_SYNC") == "1":
-            try:
-                dt, iters = run("host-sync matcher")
-            except jax.errors.JaxRuntimeError as e:
-                log(f"[train-baseline] host-sync matcher program failed over "
-                    f"this relay ({type(e).__name__}: {str(e)[:80]}) — "
-                    "falling back to the reference-shaped fp32 step")
-                C._match = orig_match
-                # rebuild from the pre-donation snapshot: the failed
-                # attempt's train_step calls donated (deleted) the original
-                # params buffers even though the program never finished
-                fresh = jax.tree.map(jnp.copy, pristine)
-                state = TrainState(
-                    step=jnp.zeros((), jnp.int32), params=fresh,
-                    opt_state=tx.init(fresh),
-                )
-                dt, iters = run("reference-shaped, on-device matcher")
+        if host_sync:
+            dt, iters = run("host-sync matcher")
         else:
             C._match = orig_match
             dt, iters = run("reference-shaped, on-device matcher")
@@ -733,6 +714,19 @@ def wait_for_backend(max_wait_s: float = 10800.0) -> None:
 
 
 def main():
+    if "--train-baseline-sync-probe" in sys.argv:
+        # subprocess mode for the faithful host-sync matcher baseline (see
+        # the --extra block): io_callback programs have killed this relay's
+        # TPU client outright, so the attempt must not share a process with
+        # the rest of the bench
+        wait_for_backend()
+        rows, ms = train_baseline_bench(B=32, host_sync=True)
+        print(json.dumps({
+            "probe": "train_baseline_sync",
+            "rows_per_sec": rows, "ms_per_step": round(ms, 2),
+        }))
+        return
+
     extra = "--extra" in sys.argv
     wait_for_backend()
 
@@ -812,9 +806,8 @@ def main():
         # the key encodes the matcher-sync variant: a warm on-device-matcher
         # cache must not silently satisfy a MESM_TRAIN_BASELINE_SYNC=1 run
         # (and a measured host-sync number must not pose as the default)
-        sync_tag = (
-            "-hostsync" if os.environ.get("MESM_TRAIN_BASELINE_SYNC") == "1" else ""
-        )
+        sync_req = os.environ.get("MESM_TRAIN_BASELINE_SYNC") == "1"
+        sync_tag = "-hostsync" if sync_req else ""
         # '-rbg' invalidates the threefry-era cache entry: the baseline's
         # dropout PRNG changed to rbg (see train_baseline_bench), so the
         # cached 65.2 ms measurement no longer describes this program
@@ -826,8 +819,48 @@ def main():
             if cached.get("train_key") == tkey:
                 tbase = cached["train_baseline_rows_per_sec"]
                 log(f"[train-baseline] cached: {tbase:.1f} rows/s")
+        if tbase is None and sync_req:
+            # Host-sync attempts run ISOLATED in a subprocess: the 4th
+            # in-process attempt (2026-08-20) ABORTED the entire TPU client,
+            # killing the rest of the bench run with it. A subprocess death
+            # costs only this leg; the parent's client stays healthy.
+            import subprocess as _sp
+            import sys as _sys
+
+            log("[train-baseline] host-sync attempt in a subprocess "
+                "(io_callback; has failed 4x over this relay)")
+            try:
+                r = _sp.run(
+                    [_sys.executable, os.path.abspath(__file__),
+                     "--train-baseline-sync-probe"],
+                    capture_output=True, text=True, timeout=2700,
+                )
+                for line in reversed(r.stdout.strip().splitlines()):
+                    if line.startswith("{"):
+                        probe = json.loads(line)
+                        tbase = probe["rows_per_sec"]
+                        tbase_ms = probe["ms_per_step"]
+                        break
+                if tbase is None:
+                    raise RuntimeError(
+                        f"probe rc={r.returncode}: {r.stderr[-300:]}"
+                    )
+            except Exception as e:  # noqa: BLE001 — refusal is a result here
+                log(f"[train-baseline] host-sync subprocess refused "
+                    f"({type(e).__name__}: {str(e)[:120]}) — recording the "
+                    "refusal and measuring the reference-shaped baseline")
+                results["train_baseline_sync_note"] = (
+                    "io_callback host-sync refused by this relay "
+                    "(5th attempt, 2026-08-20); baseline omits the matcher "
+                    "sync and OVERSTATES the reference, so vs_baseline is "
+                    "an understatement"
+                )
+                sync_req = False
+                tkey = f"train-{_jax.default_backend()}-B32-Lv194-Dv2818-rbg"
+        freshly_measured = tbase is None or sync_req
         if tbase is None:
             tbase, tbase_ms = train_baseline_bench(B=32)
+        if freshly_measured:
             if os.path.exists(cache_path):
                 with open(cache_path) as f:
                     cached = json.load(f)
