@@ -31,7 +31,12 @@ def make_charades_root(root: str, n_videos: int = 8, seed: int = 0):
         for i, v in enumerate(vids):
             for j in range((i % 3) + 1):
                 d = durations[v]
-                st = float(rng.uniform(0, d * 0.6))
+                # st >= 1.5 s keeps start_idx >= 1 at clip_len=1: the
+                # reference's contra-sample negative pool is
+                # [0,start) ∪ (end,video_len) (dataset/base.py:199) and
+                # np.random.choice CRASHES on an empty pool when a span
+                # covers every clip — real charades spans never start at 0s
+                st = float(rng.uniform(1.5, d * 0.6))
                 ed = float(rng.uniform(st + 1, d))
                 lines.append(f"{v} {st:.2f} {ed:.2f}##{SENTS[(i + j) % len(SENTS)]}\n")
         with open(os.path.join(ann, fname), "w") as f:

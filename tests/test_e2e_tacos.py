@@ -44,8 +44,12 @@ def make_tacos_root(root: str, seed: int = 0):
             # chunking + SplitGatherBatchSampler path stays exercised.
             n_sent = 2 if split == "test" else int(rng.integers(3, 7))
             for j in range(n_sent):
-                st = int(rng.integers(0, n_frames - 20))
-                ed = int(st + rng.integers(10, n_frames - st))
+                # frame margins keep the fractional span (clip_len -1,
+                # reference base.py:174-176) off clip 0 and the last clip,
+                # so the reference's contra-sample negative pool
+                # (base.py:199, crashes when empty) always has a candidate
+                st = int(rng.integers(30, n_frames - 50))
+                ed = int(st + rng.integers(10, n_frames - st - 5))
                 stamps.append([st, ed])
                 sentences.append(sents[(i + j) % len(sents)])
             obj[split][vid] = {
