@@ -43,7 +43,8 @@ def pytest_configure(config):
     )
     config.addinivalue_line(
         "markers",
-        "smoke: close-out gate subset (<~7 min total) covering every eval/"
+        "smoke: close-out gate subset (~8 min cold cache, measured "
+        "2026-08-20; faster warm) covering every eval/"
         "train dispatch arity: coalesce=1, tuple-K, superbatch (incl. "
         "video_feat_g and rows staging), dedup/hoist, grad-accum, plus "
         "seconds-level span/config/metric sanity. Run via scripts/close_out.sh",
