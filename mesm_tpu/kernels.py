@@ -220,6 +220,30 @@ FLAT_HOIST: bool = False
 # geometries with thinner bodies.
 EVAL_SCAN_UNROLL: int = 1
 
+# jax.checkpoint (remat) around the TRAINING attention core at the big
+# quadratic self-attention sites. Hypothesis (round-5 train ledger,
+# traces/r5_train_fp32): the fp32 attention chain is 5.62 ms of the 24.92
+# ms busy step, and its backward reloads the saved (64,8,195,195) f32
+# probability/logits tensors from HBM (78 MB each). Remat recomputes the
+# logits->softmax(->dropout-mask) chain in the backward instead — ~1.6
+# GFLOP of MXU recompute (~0.02 ms) against the saved HBM round-trips.
+# Gated to min(Lq, Lk) >= ATTN_REMAT_MIN_L so only the quadratic sites pay
+# the recompute (the short-key/short-query train sites have kB-scale
+# logits). Dispatch: models/attention.dispatch_attention_core; value
+# parity: tests/test_attention.py::test_attn_remat_matches_plain.
+# VERDICT: pending on-chip measurement (scripts/probe_train_remat.py).
+ATTN_REMAT: bool = False
+ATTN_REMAT_MIN_L: int = 128
+
+
+def use_attn_remat(Lq: int, Lk: int, deterministic: bool = True) -> bool:
+    """Dispatch for the remat'd training attention core. Backend-agnostic:
+    this is an XLA scheduling hint (recompute-in-backward), not a TPU
+    kernel, so no on_tpu gate."""
+    if deterministic or not ATTN_REMAT:
+        return False
+    return Lq >= ATTN_REMAT_MIN_L and Lk >= ATTN_REMAT_MIN_L
+
 
 def use_fused_ln_dense(D: int) -> bool:
     """Dispatch for the fused LayerNorm->Dense input-projection kernel."""

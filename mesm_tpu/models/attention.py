@@ -293,6 +293,32 @@ def attention_core_shortquery(
     return out.astype(v.dtype)
 
 
+def _attention_core_remat(q, k, v, **kwargs):
+    """jax.checkpoint'd attention core for the TRAINING path.
+
+    The plain core's backward reloads the saved (B, H, Lq, Lk) probability
+    (and keep-mask) tensors from HBM — 78 MB each at the flagship train
+    geometry (64, 8, 195, 195) f32. Under jax.checkpoint the backward
+    recomputes the logits→softmax(→dropout-mask) chain from the (B, L, E)
+    inputs instead, trading ~0.02 ms of MXU recompute per site for those
+    round-trips. Same rng key → identical dropout mask on recompute, so
+    values and grads match the plain core (pinned by
+    tests/test_attention.py::test_attn_remat_matches_plain). On-chip
+    verdict: kernels.ATTN_REMAT."""
+    statics = {
+        n: kwargs.pop(n)
+        for n in ("num_heads", "dropout_rate", "deterministic")
+        if n in kwargs
+    }
+    arrays = {n: a for n, a in kwargs.items() if a is not None}
+
+    @jax.checkpoint
+    def core(q, k, v, arrays):
+        return attention_core(q, k, v, **statics, **arrays)
+
+    return core(q, k, v, arrays)
+
+
 def dispatch_attention_core(q, k, v, **kwargs):
     """Route to the Pallas fused kernel where it is measured to win
     (see mesm_tpu/kernels.py for the policy), else the XLA core.
@@ -344,6 +370,8 @@ def dispatch_attention_core(q, k, v, **kwargs):
     ):
         sq_kwargs = {key: val for key, val in kwargs.items() if key != "logit_bias"}
         return attention_core_shortquery(q, k, v, **sq_kwargs)
+    if kernels.use_attn_remat(q.shape[1], k.shape[1], deterministic=det):
+        return _attention_core_remat(q, k, v, **kwargs)
     return attention_core(q, k, v, **kwargs)
 
 

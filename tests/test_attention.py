@@ -433,3 +433,37 @@ def test_fused_packed_bf16_close_to_core():
         qb, kb, vb, jnp.asarray(mask, jnp.float32), 4, True, "packed"
     ).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=0.03, rtol=0.03)
+
+
+def test_attn_remat_matches_plain(monkeypatch):
+    """kernels.ATTN_REMAT wraps the training attention core in
+    jax.checkpoint (recompute-in-backward, see models/attention.py
+    _attention_core_remat): values AND grads must match the plain core —
+    same ops, and the dropout rng key is replayed so the recomputed mask is
+    identical."""
+    from mesm_tpu import kernels
+    from mesm_tpu.models.attention import dispatch_attention_core
+
+    rng = np.random.default_rng(31)
+    q, k, v, mask = _rand_qkv(rng, B=2, Lq=128, Lk=128, E=32, Ev=32, H=4)
+    key = jax.random.PRNGKey(3)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    def loss(q, k, v):
+        out = dispatch_attention_core(
+            q, k, v, num_heads=4, key_valid_mask=jnp.asarray(mask),
+            dropout_rate=0.1, deterministic=False, dropout_rng=key)
+        return jnp.sum(out ** 2)
+
+    monkeypatch.setattr(kernels, "ATTN_REMAT", False)
+    vr, g_ref = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    monkeypatch.setattr(kernels, "ATTN_REMAT", True)
+    assert kernels.use_attn_remat(128, 128, deterministic=False)
+    assert not kernels.use_attn_remat(128, 128, deterministic=True)
+    assert not kernels.use_attn_remat(10, 195, deterministic=False)
+    vn, g_new = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(vn), float(vr), rtol=1e-6)
+    for a, b, name in zip(g_ref, g_new, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=f"grad d{name}"
+        )
