@@ -231,7 +231,16 @@ EVAL_SCAN_UNROLL: int = 1
 # the recompute (the short-key/short-query train sites have kB-scale
 # logits). Dispatch: models/attention.dispatch_attention_core; value
 # parity: tests/test_attention.py::test_attn_remat_matches_plain.
-# VERDICT: pending on-chip measurement (scripts/probe_train_remat.py).
+#
+# MEASURED NEGATIVE on v5e (scripts/probe_train_remat.py, 2026-08-20, B=32
+# fp32 rbg, 3 interleaved rounds, losses equal): plain 15.78 ms/step <
+# remat 16.83 (-6.2%). The hypothesis fails the same way the eval
+# megakernel did: XLA's forward-saved schedule already overlaps the probs
+# round-trip against the backward matmul pipeline, and the rematerialized
+# logits chain re-pays the softmax VPU work without freeing any bandwidth
+# the scheduler was actually starved of. Default stays off; kept in-tree +
+# grad-parity-tested for geometries with longer L where the saved tensors
+# stop fitting the overlap window.
 ATTN_REMAT: bool = False
 ATTN_REMAT_MIN_L: int = 128
 

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--kernels", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--rng-impl", default="rbg", choices=["rbg", "threefry"],
+                    help="dropout PRNG; rbg is the shipped train default "
+                         "(config --rng_impl, BASELINE.md round 5)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +72,8 @@ def main():
     )
     train_step = make_train_step(model, ccfg, encode_text, tx,
                                  grad_accum=args.grad_accum)
-    rng = jax.random.PRNGKey(7)
+    rng = (jax.random.key(7, impl="rbg") if args.rng_impl == "rbg"
+           else jax.random.PRNGKey(7))
 
     bench.log("compiling train step (long compile)")
     for _ in range(3):
